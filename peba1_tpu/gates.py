@@ -1,0 +1,121 @@
+"""Bootstrapped Boolean gate API, batched.
+
+Implements the exact contract of SURVEY.md section 2.3 -- the 8 gate symbols
+the reference consumes (bootsAND/OR/XOR/XNOR/NOT/MUX/COPY/CONSTANT, e.g.
+/root/reference/src/Math.cpp:34-43,260-261) plus the rest of TFHE's standard
+gate set (NAND/NOR/ANDNY/ANDYN/ORNY/ORYN) for API completeness.  Every gate
+broadcasts over arbitrary leading batch dims; each two-input gate costs one
+batched bootstrap + keyswitch, MUX costs two bootstraps + one keyswitch, and
+NOT/COPY/CONSTANT are free (no bootstrap), exactly like the reference
+(SURVEY.md E5).
+
+The "levelized batched schedule" abstraction (SURVEY.md section 7.6) is the
+`lincomb_bootstrap` entry point: circuits stack heterogeneous same-depth gates
+into ONE bootstrap launch by expressing each gate as a per-element linear
+combination (wa*a + wb*b + offset) followed by the shared bootstrap.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import lwe
+from .keys import CloudKey
+from .ops import bootstrap as bs
+from .torus import modswitch_to_torus32
+
+MU_1_8 = modswitch_to_torus32(1, 8)   # +1/8 torus32 == 2^29
+MU_1_4 = modswitch_to_torus32(1, 4)   # +1/4
+
+
+def _flatten(ct: lwe.Lwe):
+    shape = ct.shape
+    return lwe.Lwe(ct.a.reshape((-1, ct.dim)), ct.b.reshape(-1)), shape
+
+
+def _unflatten(ct: lwe.Lwe, shape):
+    return lwe.Lwe(ct.a.reshape(shape + (ct.dim,)), ct.b.reshape(shape))
+
+
+def gate_bootstrap(ck: CloudKey, pre: lwe.Lwe) -> lwe.Lwe:
+    """Bootstrap an arbitrary-shaped batch of prepared gate inputs to +-1/8."""
+    flat, shape = _flatten(pre)
+    return _unflatten(bs.bootstrap(ck, flat, MU_1_8), shape)
+
+
+def lincomb_bootstrap(ck: CloudKey, a: lwe.Lwe, b: lwe.Lwe, wa, wb, offset) -> lwe.Lwe:
+    """Generic two-input gate: bootstrap(wa*a + wb*b + (0, offset)).
+
+    wa, wb: int arrays broadcastable to the gate batch shape; offset: torus32
+    array likewise.  This is how heterogeneous same-level gates fuse into one
+    bootstrap launch.
+    """
+    wa = jnp.asarray(wa, jnp.int32)
+    wb = jnp.asarray(wb, jnp.int32)
+    pre = lwe.Lwe(
+        a.a * wa[..., None] + b.a * wb[..., None],
+        a.b * wa + b.b * wb + jnp.asarray(offset, jnp.int32),
+    )
+    return gate_bootstrap(ck, pre)
+
+
+def AND(ck, a, b):   return lincomb_bootstrap(ck, a, b, 1, 1, -MU_1_8)
+def OR(ck, a, b):    return lincomb_bootstrap(ck, a, b, 1, 1, MU_1_8)
+def NAND(ck, a, b):  return lincomb_bootstrap(ck, a, b, -1, -1, MU_1_8)
+def NOR(ck, a, b):   return lincomb_bootstrap(ck, a, b, -1, -1, -MU_1_8)
+def XOR(ck, a, b):   return lincomb_bootstrap(ck, a, b, 2, 2, MU_1_4)
+def XNOR(ck, a, b):  return lincomb_bootstrap(ck, a, b, -2, -2, -MU_1_4)
+def ANDNY(ck, a, b): return lincomb_bootstrap(ck, a, b, -1, 1, -MU_1_8)  # (not a) and b
+def ANDYN(ck, a, b): return lincomb_bootstrap(ck, a, b, 1, -1, -MU_1_8)  # a and (not b)
+def ORNY(ck, a, b):  return lincomb_bootstrap(ck, a, b, -1, 1, MU_1_8)   # (not a) or b
+def ORYN(ck, a, b):  return lincomb_bootstrap(ck, a, b, 1, -1, MU_1_8)   # a or (not b)
+
+
+def NOT(ck, a: lwe.Lwe) -> lwe.Lwe:
+    """Free negation (no bootstrap)."""
+    return -a
+
+
+def COPY(ck, a: lwe.Lwe) -> lwe.Lwe:
+    """Free copy (no bootstrap)."""
+    return a
+
+
+def CONSTANT(ck: CloudKey, value, shape=()) -> lwe.Lwe:
+    """Trivial ciphertext of a constant bit (bootsCONSTANT): no bootstrap.
+
+    value: 0/1 (array broadcastable to `shape`).
+    """
+    v = jnp.broadcast_to(jnp.asarray(value, jnp.int32), shape)
+    mu = jnp.where(v != 0, jnp.int32(MU_1_8), jnp.int32(-MU_1_8))
+    return lwe.trivial(mu, ck.params.n, shape)
+
+
+def MUX(ck: CloudKey, a: lwe.Lwe, b: lwe.Lwe, c: lwe.Lwe) -> lwe.Lwe:
+    """a ? b : c -- two bootstraps (no intermediate keyswitch) + one keyswitch."""
+    pre1 = (a + b).add_const(-MU_1_8)       # ~ a AND b
+    pre2 = (c - a).add_const(-MU_1_8)       # ~ (not a) AND c
+    f1, shape = _flatten(pre1)
+    f2, _ = _flatten(pre2)
+    both = lwe.concatenate([f1, f2], axis=0)
+    a_ext, b_ext = bs.bootstrap_wo_ks(ck, both, MU_1_8)
+    B = f1.shape[0]
+    u_a = a_ext[:B] + a_ext[B:]
+    u_b = b_ext[:B] + b_ext[B:] + jnp.int32(MU_1_8)
+    out = bs.keyswitch(ck, u_a, u_b)
+    return _unflatten(out, shape)
+
+
+def encrypt_bits(key, sk, bits) -> lwe.Lwe:
+    """bootsSymEncrypt, batched: bits (any shape of 0/1) -> Lwe of +-1/8."""
+    bits = jnp.asarray(bits, jnp.int32)
+    mu = jnp.where(bits != 0, jnp.int32(MU_1_8), jnp.int32(-MU_1_8))
+    return lwe.encrypt(key, sk.lwe_key, mu, sk.params.lwe_stdev)
+
+
+def decrypt_bits(ct: lwe.Lwe, sk) -> jax.Array:
+    """bootsSymDecrypt, batched: sign of phase."""
+    return lwe.decrypt_bit(ct, sk.lwe_key)

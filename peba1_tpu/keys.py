@@ -1,0 +1,85 @@
+"""Key generation: secret keyset, cloud keyset, and TPU-precomputed key forms.
+
+Replaces the reference's opaque ``new_random_gate_bootstrapping_secret_keyset``
+(/root/reference/src/main.cpp:22) with deterministic, PRNG-keyed generation
+(SURVEY.md section 4: keyed CSPRNG replaces time(NULL) seeding).  The cloud
+keyset carries, in addition to the raw bootstrapping/keyswitch keys, their
+TPU-ready precomputed forms:
+
+  * bk_conv: the TRGSW bootstrapping key limb-split to int8 and flipped, ready
+    to be the RHS of the int8 MXU convolution in each blind-rotation step.
+  * ks_table_limbs: the keyswitch key flattened to a (kN*t*base, (n+1)*4) int8
+    matrix so key switching is a single one-hot int8 matmul.
+
+The secret-key / cloud-key split is a hard API boundary: server-side ops take
+only CloudKey (fixing the reference's smell of the secret key riding through
+server-side objects, /root/reference/include/Client.h:13).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from . import tlwe, torus
+from .ops import poly
+from .params import TfheParams
+
+
+@struct.dataclass
+class SecretKey:
+    lwe_key: jax.Array    # (n,) int32 bits -- the "small" key
+    tlwe_key: jax.Array   # (k, N) int32 bits -- the ring key
+    params: TfheParams = struct.field(pytree_node=False)
+
+    @property
+    def extracted_key(self) -> jax.Array:
+        """(k*N,) int32 -- LWE key of sample-extracted ciphertexts."""
+        return self.tlwe_key.reshape(-1)
+
+
+@struct.dataclass
+class CloudKey:
+    bk: jax.Array              # (n, (k+1)l, k+1, N) int32 -- TRGSW(s_i)
+    bk_conv: jax.Array         # (n, (k+1)*limbs, (k+1)l, N) int8 conv RHS
+    ks_table_limbs: jax.Array  # (kN*t*base, (n+1)*4) int8 one-hot matmul table
+    params: TfheParams = struct.field(pytree_node=False)
+
+
+def keygen(key: jax.Array, params: TfheParams) -> "tuple[SecretKey, CloudKey]":
+    """Generate a full secret/cloud keyset deterministically from a PRNG key."""
+    k_lwe, k_tlwe, k_bk, k_ks = jax.random.split(key, 4)
+    lwe_key = jax.random.bernoulli(k_lwe, 0.5, (params.n,)).astype(jnp.int32)
+    tlwe_key = jax.random.bernoulli(k_tlwe, 0.5, (params.k, params.N)).astype(jnp.int32)
+    sk = SecretKey(lwe_key=lwe_key, tlwe_key=tlwe_key, params=params)
+    ck = make_cloud_key(k_bk, k_ks, sk)
+    return sk, ck
+
+
+def make_cloud_key(k_bk: jax.Array, k_ks: jax.Array, sk: SecretKey) -> CloudKey:
+    p = sk.params
+    # --- Bootstrapping key: TRGSW encryptions of each small-key bit.
+    bk = tlwe.trgsw_encrypt(k_bk, sk.tlwe_key, sk.lwe_key, p)  # (n, (k+1)l, k+1, N)
+    # Conv RHS form: per step, contraction rows G=(k+1)l, outputs O=(k+1).
+    bk_conv = jax.vmap(lambda g: poly.prepare_conv_rhs(g, p.bk_limbs))(bk)
+
+    # --- Keyswitch key: ks[i][j][v] = LWE_s(v * K_i / base^(j+1)), v=0 row zero.
+    kn = p.k * p.N
+    K = sk.extracted_key  # (kN,)
+    v = jnp.arange(p.ks_base, dtype=jnp.int32)
+    shifts = jnp.array([32 - (j + 1) * p.ks_basebit for j in range(p.ks_t)], jnp.int32)
+    # mu[i, j, v] = v * K_i << shift_j  (int32 wrap)
+    mu = (v[None, None, :] * K[:, None, None]) << shifts[None, :, None]
+    ka, ke = jax.random.split(k_ks)
+    a = torus.uniform_torus32(ka, (kn, p.ks_t, p.ks_base, p.n))
+    e = torus.gaussian_torus32(ke, p.lwe_stdev, (kn, p.ks_t, p.ks_base))
+    b = jnp.einsum("ijvd,d->ijv", a, sk.lwe_key) + mu + e
+    table = jnp.concatenate([a, b[..., None]], axis=-1)  # (kN, t, base, n+1)
+    # v == 0 entries are skipped by TFHE's lweKeySwitch (no noise added);
+    # mirror that by zeroing them so the one-hot matmul is equivalent.
+    table = table.at[:, :, 0, :].set(0)
+    tl = poly.split_limbs_i8(table, 4)  # (kN, t, base, n+1, 4)
+    ks_table_limbs = tl.reshape(kn * p.ks_t * p.ks_base, (p.n + 1) * 4)
+    return CloudKey(bk=bk, bk_conv=bk_conv, ks_table_limbs=ks_table_limbs, params=p)

@@ -1,0 +1,107 @@
+"""Batched gate bootstrapping: blind rotation + sample extract + key switch.
+
+This is the TPU-native replacement for TFHE's ``tfhe_bootstrap_FFT``
+(SURVEY.md section 3.5) -- the code path behind every single ``boots*`` call
+in the reference.  Design inversion vs the reference (SURVEY.md section 7):
+instead of one synchronous scalar bootstrap per gate call, a whole BATCH of
+gate bootstraps executes as one jitted program:
+
+  1. modswitch all phases to Z_2N                       (VPU, elementwise)
+  2. init accumulators = X^{-b_bar} * testvector        (barrel-shift rolls)
+  3. n CMUX steps, each: barrel-rotate, gadget-decompose,
+     and ONE int8 convolution on the MXU contracting all
+     (k+1)*l digit polys x batch against that step's
+     TRGSW row (ops/poly.negacyclic_conv_i8)            (MXU)
+  4. sample extract                                     (slicing)
+  5. key switch as ONE one-hot int8 matmul              (MXU)
+
+Exact integer arithmetic throughout -- no floating-point FFT, hence no
+platform-dependent rounding (SURVEY.md "hard parts" #1).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import jax
+import jax.numpy as jnp
+
+from .. import lwe
+from . import decompose as dec
+from . import poly, rotate
+
+if TYPE_CHECKING:  # avoid circular import; CloudKey is only a type here
+    from ..keys import CloudKey
+
+
+def blind_rotate(ck: CloudKey, bara: jax.Array, barb: jax.Array, mu) -> jax.Array:
+    """Batched blind rotation of the all-mu testvector.
+
+    Args:
+      ck: cloud key.
+      bara: (B, n) int32 in [0, 2N) -- modswitched mask.
+      barb: (B,) int32 in [0, 2N) -- modswitched body.
+      mu: scalar torus32 testvector amplitude.
+
+    Returns:
+      (B, k+1, N) int32 accumulator  ~ TRLWE(X^{-phase2N} * tv).
+    """
+    p = ck.params
+    B = bara.shape[0]
+    tv = jnp.full((B, p.N), jnp.int32(mu))
+    acc = jnp.concatenate(
+        [jnp.zeros((B, p.k, p.N), jnp.int32),
+         rotate.negacyclic_rotate(tv, (2 * p.N - barb) % (2 * p.N))[:, None, :]],
+        axis=1,
+    )
+
+    def step(i, acc):
+        amt = bara[:, i]  # (B,)
+        rot = rotate.negacyclic_rotate(acc, amt[:, None])  # broadcast over k+1
+        diff = rot - acc
+        d = dec.decompose(diff, p)                    # (B, k+1, N, l) int8
+        d = jnp.moveaxis(d, -1, -2)                   # (B, k+1, l, N)
+        d = d.reshape(B, (p.k + 1) * p.l, p.N)
+        delta = poly.negacyclic_conv_i8(d, ck.bk_conv[i], p.bk_limbs)  # (B, k+1, N)
+        return acc + delta
+
+    return jax.lax.fori_loop(0, p.n, step, acc)
+
+
+def keyswitch(ck: CloudKey, a_ext: jax.Array, b_ext: jax.Array) -> lwe.Lwe:
+    """Batched key switch kN -> n as a one-hot int8 matmul.
+
+    a_ext: (B, kN) int32, b_ext: (B,) int32 (extracted LWE under the big key).
+    Returns Lwe under the small key, (B,).
+    """
+    p = ck.params
+    B, kn = a_ext.shape
+    prec_offset = jnp.uint32(1 << (32 - (1 + p.ks_basebit * p.ks_t)))
+    u = a_ext.astype(jnp.uint32) + prec_offset
+    shifts = jnp.array([32 - (j + 1) * p.ks_basebit for j in range(p.ks_t)], jnp.uint32)
+    digits = (u[..., None] >> shifts) & (p.ks_base - 1)  # (B, kN, t) uint32
+    onehot = (digits[..., None] == jnp.arange(p.ks_base, dtype=jnp.uint32))
+    onehot = onehot.reshape(B, kn * p.ks_t * p.ks_base).astype(jnp.int8)
+    acc = jnp.dot(onehot, ck.ks_table_limbs, preferred_element_type=jnp.int32)
+    acc = poly.recombine_limbs_i32(acc.reshape(B, p.n + 1, 4), 4)  # (B, n+1)
+    return lwe.Lwe(-acc[:, : p.n], b_ext - acc[:, p.n])
+
+
+def bootstrap_wo_ks(ck: CloudKey, ct: lwe.Lwe, mu) -> "tuple[jax.Array, jax.Array]":
+    """Bootstrap without the final key switch: returns extracted (a, b) pair.
+
+    ct: Lwe (B,) under the small key; mu: torus32 amplitude.
+    Output phase is +mu where phase(ct) in (0, 1/2), -mu where in (-1/2, 0).
+    """
+    p = ck.params
+    bara = rotate.modswitch_2n(ct.a, p.N)
+    barb = rotate.modswitch_2n(ct.b, p.N)
+    acc = blind_rotate(ck, bara, barb, mu)
+    from .. import tlwe  # local import to avoid cycle
+    return tlwe.sample_extract(acc)
+
+
+def bootstrap(ck: CloudKey, ct: lwe.Lwe, mu) -> lwe.Lwe:
+    """Full gate bootstrap: LWE (B,) -> LWE (B,) with message +-mu by phase sign."""
+    a_ext, b_ext = bootstrap_wo_ks(ck, ct, mu)
+    return keyswitch(ck, a_ext, b_ext)

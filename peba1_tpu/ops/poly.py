@@ -1,0 +1,143 @@
+"""Negacyclic polynomial arithmetic in Z[X]/(X^N + 1) over torus32.
+
+This module replaces the reference's external FFT processor (the
+"nayuki-portable" double-precision FFT inside libtfhe, SURVEY.md E8) with two
+TPU-native exact-integer paths:
+
+1. ``negacyclic_mul_naive`` -- O(N^2) int32 schoolbook product with native
+   mod-2^32 wrap-around.  Bit-exact by construction; used as the test oracle
+   and inside keygen (cold path).
+
+2. ``negacyclic_conv_i8`` -- the production path for external products: the
+   small operand (gadget digits, |d| <= Bg/2 <= 128, int8) is convolved with
+   the torus32 operand split into balanced signed 8-bit limbs, as one
+   ``lax.conv_general_dilated`` in int8 with int32 accumulation.  XLA lowers
+   this onto the MXU (int8 matmul units).  Exactness: each output coefficient
+   accumulates at most G*N terms of |digit|*|limb| <= (k+1)*l*N*128*128 < 2^31,
+   so the int32 accumulator never overflows; the limb recombination then wraps
+   mod 2^32, which is exactly torus arithmetic.
+
+Unlike the reference's per-gate scalar FFTs (one libtfhe call per gate,
+/root/reference/src/Math.cpp:27-50), everything here is batched over a leading
+ciphertext-batch dimension.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def negacyclic_matrix(q: jax.Array) -> jax.Array:
+    """Build the negacyclic (anti-circulant) matrix M with (p @ M) = p*q mod X^N+1.
+
+    M[t, j] = q[(j - t) mod N] * (-1 if j < t else 1).
+    """
+    N = q.shape[-1]
+    j = jnp.arange(N)[None, :]
+    t = jnp.arange(N)[:, None]
+    idx = (j - t) % N
+    sign = jnp.where(j >= t, 1, -1).astype(q.dtype)
+    return q[..., idx] * sign
+
+
+def negacyclic_mul_naive(p: jax.Array, q: jax.Array) -> jax.Array:
+    """Exact negacyclic product mod 2^32; p, q int32, broadcast leading dims."""
+    p = jnp.asarray(p, jnp.int32)
+    m = negacyclic_matrix(jnp.asarray(q, jnp.int32))
+    # int32 matmul with wrap-around; einsum keeps this off the MXU (correct
+    # but slow) -- this is the oracle/keygen path only.
+    return jnp.einsum("...t,...tj->...j", p, m)
+
+
+def split_limbs_i8(x: jax.Array, limbs: int = 4) -> jax.Array:
+    """Split int32 into `limbs` balanced signed 8-bit limbs (axis appended last).
+
+    x == sum_m out[..., m] * 2^(8m)  (mod 2^32, exact when limbs == 4; when
+    limbs < 4 the value is rounded to the top `limbs` bytes, adding a
+    symmetric error < 2^(8*(4-limbs)-1)).
+    Each limb is in [-128, 127].
+    """
+    x = jnp.asarray(x, jnp.int32)
+    if limbs < 4:
+        drop = 8 * (4 - limbs)
+        # Symmetric rounding to avoid bias: add half-ulp before truncation.
+        x = x + (1 << (drop - 1))
+        x = jnp.bitwise_and(x, np.int32(-1 << drop))
+    out = []
+    r = x >> (8 * (4 - limbs)) if limbs < 4 else x
+    for _ in range(limbs):
+        limb = ((r + 128) & 255) - 128  # balanced residue in [-128, 127]
+        out.append(limb.astype(jnp.int8))
+        r = (r - limb) >> 8  # arithmetic shift; exact since r - limb is mult of 256
+    return jnp.stack(out, axis=-1)
+
+
+def recombine_limbs_i32(conv: jax.Array, limbs: int) -> jax.Array:
+    """Inverse of split_limbs_i8 over the last axis; wraps mod 2^32.
+
+    conv: (..., limbs) int32 partial convolutions -> (...,) int32.
+    When limbs < 4 the result is scaled back up by 2^(8*(4-limbs)).
+    """
+    shift0 = 8 * (4 - limbs)
+    acc = jnp.zeros(conv.shape[:-1], jnp.int32)
+    for m in range(limbs):
+        acc = acc + (conv[..., m].astype(jnp.int32) << (shift0 + 8 * m))
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("limbs",))
+def negacyclic_conv_i8(digits: jax.Array, q_limbs_flipped: jax.Array, limbs: int) -> jax.Array:
+    """Batched exact negacyclic product via int8 convolution on the MXU.
+
+    Args:
+      digits: (B, G, N) int8 -- G gadget-digit polynomials per batch element.
+      q_limbs_flipped: (O * limbs, G, N) int8 -- for each output polynomial o
+        and limb m, the torus32 polynomial's limb, REVERSED along N (as
+        produced by `prepare_conv_rhs`).  The conv sums over G.
+      limbs: number of limbs.
+
+    Returns:
+      (B, O, N) int32: sum_g digits[:, g] * q[g, o] mod X^N+1, mod 2^32.
+    """
+    B, G, N = digits.shape
+    OL = q_limbs_flipped.shape[0]
+    # Linear convolution: pad input by N-1 both sides; rhs already flipped.
+    lin = jax.lax.conv_general_dilated(
+        digits,
+        q_limbs_flipped,
+        window_strides=(1,),
+        padding=[(N - 1, N - 1)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.int32,
+    )  # (B, O*limbs, 2N-1)
+    # Negacyclic fold: c[j] = lin[j] - lin[j+N], j in [0, N).
+    c = lin[..., :N] - jnp.pad(lin[..., N:], ((0, 0), (0, 0), (0, 1)))
+    c = c.reshape(B, OL // limbs, limbs, N)
+    return recombine_limbs_i32(jnp.moveaxis(c, 2, -1), limbs)
+
+
+def prepare_conv_rhs(q: jax.Array, limbs: int) -> jax.Array:
+    """Precompute the conv RHS for `negacyclic_conv_i8` from torus32 polys.
+
+    Args:
+      q: (G, O, N) int32 torus polynomials (G contraction rows, O outputs).
+      limbs: limb count.
+
+    Returns:
+      (O * limbs, G, N) int8, limb-split and reversed along N.
+    """
+    G, O, N = q.shape
+    ql = split_limbs_i8(q, limbs)          # (G, O, N, limbs)
+    ql = jnp.moveaxis(ql, (1, 3), (0, 1))  # (O, limbs, G, N)
+    ql = ql[..., ::-1]                     # flip N for correlation->convolution
+    return ql.reshape(O * limbs, G, N)
+
+
+def negacyclic_extproduct_reference(digits: jax.Array, q: jax.Array) -> jax.Array:
+    """Oracle: (B, G, N) int32 digits x (G, O, N) int32 -> (B, O, N) int32."""
+    m = negacyclic_matrix(q)  # (G, O, N, N)
+    return jnp.einsum("bgt,gotj->boj", jnp.asarray(digits, jnp.int32), m)

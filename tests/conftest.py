@@ -1,0 +1,37 @@
+"""Test configuration: force CPU with an 8-device virtual mesh.
+
+Mirrors SURVEY.md section 4's multi-host-without-a-pod strategy: sharding
+tests run on a virtual CPU mesh; sharded-vs-single-device equality is the
+invariant.
+
+Note: this machine's sitecustomize registers a remote TPU ("axon") backend in
+every interpreter and pins jax_platforms to it; tests must override via
+jax.config (env vars are too late) or the first op stalls ~50 s dialing the
+TPU tunnel.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return jax.random.PRNGKey(42)
+
+
+@pytest.fixture(scope="session")
+def toy_keys(rng):
+    """Shared TOY keyset (keygen is the slowest fixture -- do it once)."""
+    from peba1_tpu import keys
+    from peba1_tpu.params import TOY
+
+    return keys.keygen(rng, TOY)
