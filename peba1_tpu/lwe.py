@@ -56,7 +56,11 @@ class Lwe:
         return Lwe(self.a, self.b + jnp.int32(mu))
 
     def __getitem__(self, idx) -> "Lwe":
-        return Lwe(self.a[idx], self.b[idx])
+        # Indices address the batch dims (b's shape); `a` carries one extra
+        # trailing mask dim, so append a full slice for it.  Works both for
+        # front-anchored tuples and for indices containing Ellipsis.
+        t = idx if isinstance(idx, tuple) else (idx,)
+        return Lwe(self.a[t + (slice(None),)], self.b[idx])
 
 
 def trivial(mu, dim: int, shape=()) -> Lwe:
@@ -86,16 +90,21 @@ def decrypt_bit(ct: Lwe, sk: jax.Array) -> jax.Array:
     return (phase(ct, sk) > 0).astype(jnp.int32)
 
 
+def _a_axis(axis: int) -> int:
+    """Batch-dim axis for the mask tensor (extra trailing mask dim)."""
+    return axis if axis >= 0 else axis - 1
+
+
 def stack(cts, axis=0) -> Lwe:
     return Lwe(
-        jnp.stack([c.a for c in cts], axis=axis),
+        jnp.stack([c.a for c in cts], axis=_a_axis(axis)),
         jnp.stack([c.b for c in cts], axis=axis),
     )
 
 
 def concatenate(cts, axis=0) -> Lwe:
     return Lwe(
-        jnp.concatenate([c.a for c in cts], axis=axis),
+        jnp.concatenate([c.a for c in cts], axis=_a_axis(axis)),
         jnp.concatenate([c.b for c in cts], axis=axis),
     )
 
