@@ -40,10 +40,36 @@ def _unflatten(ct: lwe.Lwe, shape):
     return lwe.Lwe(ct.a.reshape(shape + (ct.dim,)), ct.b.reshape(shape))
 
 
+def _bucket(n: int) -> int:
+    """Round the flat batch up to a power of two (>= 8) so repeated bootstrap
+    launches hit a bounded jit-compile cache instead of recompiling per shape."""
+    b = 8
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad_flat(ct: lwe.Lwe, size: int) -> lwe.Lwe:
+    n = ct.b.shape[0]
+    if n == size:
+        return ct
+    return lwe.Lwe(
+        jnp.pad(ct.a, ((0, size - n), (0, 0))),
+        jnp.pad(ct.b, ((0, size - n),)),
+    )
+
+
+_jit_bootstrap = jax.jit(bs.bootstrap, static_argnames=())
+_jit_bootstrap_wo_ks = jax.jit(bs.bootstrap_wo_ks)
+_jit_keyswitch = jax.jit(bs.keyswitch)
+
+
 def gate_bootstrap(ck: CloudKey, pre: lwe.Lwe) -> lwe.Lwe:
     """Bootstrap an arbitrary-shaped batch of prepared gate inputs to +-1/8."""
     flat, shape = _flatten(pre)
-    return _unflatten(bs.bootstrap(ck, flat, MU_1_8), shape)
+    n = flat.b.shape[0]
+    out = _jit_bootstrap(ck, _pad_flat(flat, _bucket(n)), jnp.int32(MU_1_8))
+    return _unflatten(out[:n], shape)
 
 
 def lincomb_bootstrap(ck: CloudKey, a: lwe.Lwe, b: lwe.Lwe, wa, wb, offset) -> lwe.Lwe:
@@ -101,12 +127,16 @@ def MUX(ck: CloudKey, a: lwe.Lwe, b: lwe.Lwe, c: lwe.Lwe) -> lwe.Lwe:
     f1, shape = _flatten(pre1)
     f2, _ = _flatten(pre2)
     both = lwe.concatenate([f1, f2], axis=0)
-    a_ext, b_ext = bs.bootstrap_wo_ks(ck, both, MU_1_8)
     B = f1.shape[0]
-    u_a = a_ext[:B] + a_ext[B:]
-    u_b = b_ext[:B] + b_ext[B:] + jnp.int32(MU_1_8)
-    out = bs.keyswitch(ck, u_a, u_b)
-    return _unflatten(out, shape)
+    a_ext, b_ext = _jit_bootstrap_wo_ks(ck, _pad_flat(both, _bucket(2 * B)), jnp.int32(MU_1_8))
+    u_a = a_ext[:B] + a_ext[B : 2 * B]
+    u_b = b_ext[:B] + b_ext[B : 2 * B] + jnp.int32(MU_1_8)
+    # pad the keyswitch batch into the same bucket system
+    nb = _bucket(B)
+    u_a = jnp.pad(u_a, ((0, nb - B), (0, 0)))
+    u_b = jnp.pad(u_b, ((0, nb - B),))
+    out = _jit_keyswitch(ck, u_a, u_b)
+    return _unflatten(out[:B], shape)
 
 
 def encrypt_bits(key, sk, bits) -> lwe.Lwe:
