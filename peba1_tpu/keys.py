@@ -75,7 +75,7 @@ def make_cloud_key(k_bk: jax.Array, k_ks: jax.Array, sk: SecretKey) -> CloudKey:
     ka, ke = jax.random.split(k_ks)
     a = torus.uniform_torus32(ka, (kn, p.ks_t, p.ks_base, p.n))
     e = torus.gaussian_torus32(ke, p.lwe_stdev, (kn, p.ks_t, p.ks_base))
-    b = jnp.einsum("ijvd,d->ijv", a, sk.lwe_key) + mu + e
+    b = poly.dot_key_i32(a, sk.lwe_key) + mu + e
     table = jnp.concatenate([a, b[..., None]], axis=-1)  # (kN, t, base, n+1)
     # v == 0 entries are skipped by TFHE's lweKeySwitch (no noise added);
     # mirror that by zeroing them so the one-hot matmul is equivalent.

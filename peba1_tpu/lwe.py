@@ -71,18 +71,22 @@ def trivial(mu, dim: int, shape=()) -> Lwe:
 
 def encrypt(key: jax.Array, sk: jax.Array, mu: jax.Array, stdev: float) -> Lwe:
     """Encrypt torus32 message(s) under binary key sk (dim,), batched over mu."""
+    from .ops import poly  # local import to avoid cycle
+
     mu = jnp.asarray(mu, jnp.int32)
     dim = sk.shape[-1]
     ka, ke = jax.random.split(key)
     a = torus.uniform_torus32(ka, mu.shape + (dim,))
     e = torus.gaussian_torus32(ke, stdev, mu.shape)
-    b = jnp.einsum("...d,d->...", a, jnp.asarray(sk, jnp.int32)) + mu + e
+    b = poly.dot_key_i32(a, sk) + mu + e
     return Lwe(a, b.astype(jnp.int32))
 
 
 def phase(ct: Lwe, sk: jax.Array) -> jax.Array:
     """Decryption phase b - <a, s> (torus32)."""
-    return ct.b - jnp.einsum("...d,d->...", ct.a, jnp.asarray(sk, jnp.int32))
+    from .ops import poly
+
+    return ct.b - poly.dot_key_i32(ct.a, sk)
 
 
 def decrypt_bit(ct: Lwe, sk: jax.Array) -> jax.Array:

@@ -68,6 +68,21 @@ def blind_rotate(ck: CloudKey, bara: jax.Array, barb: jax.Array, mu) -> jax.Arra
     return jax.lax.fori_loop(0, p.n, step, acc)
 
 
+def keyswitch_onehot(p, a_ext: jax.Array) -> jax.Array:
+    """Decompose extracted masks into the keyswitch one-hot matrix.
+
+    a_ext: (B, kN) int32 -> (B, kN*t*base) int8 with 0/1 entries selecting
+    ks-table rows (TFHE's per-digit table lookups, vectorized).
+    """
+    B, kn = a_ext.shape
+    prec_offset = jnp.uint32(1 << (32 - (1 + p.ks_basebit * p.ks_t)))
+    u = a_ext.astype(jnp.uint32) + prec_offset
+    shifts = jnp.array([32 - (j + 1) * p.ks_basebit for j in range(p.ks_t)], jnp.uint32)
+    digits = (u[..., None] >> shifts) & (p.ks_base - 1)  # (B, kN, t) uint32
+    onehot = (digits[..., None] == jnp.arange(p.ks_base, dtype=jnp.uint32))
+    return onehot.reshape(B, kn * p.ks_t * p.ks_base).astype(jnp.int8)
+
+
 def keyswitch(ck: CloudKey, a_ext: jax.Array, b_ext: jax.Array) -> lwe.Lwe:
     """Batched key switch kN -> n as a one-hot int8 matmul.
 
@@ -75,13 +90,8 @@ def keyswitch(ck: CloudKey, a_ext: jax.Array, b_ext: jax.Array) -> lwe.Lwe:
     Returns Lwe under the small key, (B,).
     """
     p = ck.params
-    B, kn = a_ext.shape
-    prec_offset = jnp.uint32(1 << (32 - (1 + p.ks_basebit * p.ks_t)))
-    u = a_ext.astype(jnp.uint32) + prec_offset
-    shifts = jnp.array([32 - (j + 1) * p.ks_basebit for j in range(p.ks_t)], jnp.uint32)
-    digits = (u[..., None] >> shifts) & (p.ks_base - 1)  # (B, kN, t) uint32
-    onehot = (digits[..., None] == jnp.arange(p.ks_base, dtype=jnp.uint32))
-    onehot = onehot.reshape(B, kn * p.ks_t * p.ks_base).astype(jnp.int8)
+    B = a_ext.shape[0]
+    onehot = keyswitch_onehot(p, a_ext)
     acc = jnp.dot(onehot, ck.ks_table_limbs, preferred_element_type=jnp.int32)
     acc = poly.recombine_limbs_i32(acc.reshape(B, p.n + 1, 4), 4)  # (B, n+1)
     return lwe.Lwe(-acc[:, : p.n], b_ext - acc[:, p.n])

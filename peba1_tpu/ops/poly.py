@@ -137,6 +137,45 @@ def prepare_conv_rhs(q: jax.Array, limbs: int) -> jax.Array:
     return ql.reshape(O * limbs, G, N)
 
 
+def key_negacyclic_mul(key_bits: jax.Array, a: jax.Array) -> jax.Array:
+    """sum_u key_u * a_u mod X^N+1, exact, via the int8 conv path.
+
+    key_bits: (k, N) 0/1; a: (..., k, N) torus32.  Returns (..., N) int32.
+    Used on the keygen/encryption side (TRLWE bodies) where the torus32
+    operand varies per sample and the binary key is fixed: the torus operand
+    limb-splits into the int8 "digit" role, the key is the conv filter.
+    Accumulation bound: k*N*128*1 < 2^31.
+    """
+    k, N = key_bits.shape
+    batch = a.shape[:-2]
+    al = split_limbs_i8(a, 4)                      # (..., k, N, 4)
+    al = jnp.moveaxis(al, -1, -3)                  # (..., 4, k, N)
+    lhs = al.reshape((-1, k, N))                   # (B*4, k, N)
+    rhs = jnp.asarray(key_bits, jnp.int8)[None, :, ::-1]  # (1, k, N) flipped
+    lin = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding=[(N - 1, N - 1)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.int32,
+    )[:, 0, :]                                     # (B*4, 2N-1)
+    c = lin[:, :N] - jnp.pad(lin[:, N:], ((0, 0), (0, 1)))
+    c = c.reshape(batch + (4, N))
+    return recombine_limbs_i32(jnp.moveaxis(c, -2, -1), 4)
+
+
+def dot_key_i32(a: jax.Array, key_bits: jax.Array) -> jax.Array:
+    """Exact <a, key> mod 2^32 for binary key: (..., n) int32 x (n,) -> (...,).
+
+    Limb-splits `a` to int8 so the contraction runs as an int8 matmul
+    (MXU-friendly); bound n*128 < 2^31.
+    """
+    n = key_bits.shape[-1]
+    al = split_limbs_i8(a, 4)                      # (..., n, 4)
+    al = jnp.moveaxis(al, -1, -2)                  # (..., 4, n)
+    out = jnp.einsum("...ln,n->...l", al, jnp.asarray(key_bits, jnp.int8),
+                     preferred_element_type=jnp.int32)
+    return recombine_limbs_i32(out, 4)
+
+
 def negacyclic_extproduct_reference(digits: jax.Array, q: jax.Array) -> jax.Array:
     """Oracle: (B, G, N) int32 digits x (G, O, N) int32 -> (B, O, N) int32."""
     m = negacyclic_matrix(q)  # (G, O, N, N)

@@ -33,7 +33,7 @@ def encrypt_zero(key: jax.Array, tlwe_key: jax.Array, params: TfheParams, shape=
     ka, ke = jax.random.split(key)
     a = torus.uniform_torus32(ka, shape + (params.k, params.N))
     e = torus.gaussian_torus32(ke, params.tlwe_stdev, shape + (params.N,))
-    body = jnp.sum(poly.negacyclic_mul_naive(jnp.asarray(tlwe_key, jnp.int32), a), axis=-2) + e
+    body = poly.key_negacyclic_mul(tlwe_key, a) + e
     return jnp.concatenate([a, body[..., None, :]], axis=-2)
 
 
@@ -47,8 +47,7 @@ def encrypt(key: jax.Array, tlwe_key: jax.Array, mu_poly: jax.Array, params: Tfh
 def phase(ct: jax.Array, tlwe_key: jax.Array) -> jax.Array:
     """(..., k+1, N) -> (..., N): body - sum_u s_u * a_u."""
     a, body = ct[..., :-1, :], ct[..., -1, :]
-    prods = poly.negacyclic_mul_naive(jnp.asarray(tlwe_key, jnp.int32), a)
-    return body - jnp.sum(prods, axis=-2)
+    return body - poly.key_negacyclic_mul(tlwe_key, a)
 
 
 def sample_extract(ct: jax.Array) -> "tuple[jax.Array, jax.Array]":
