@@ -44,6 +44,7 @@ class SecretKey:
 class CloudKey:
     bk: jax.Array              # (n, (k+1)l, k+1, N) int32 -- TRGSW(s_i)
     bk_conv: jax.Array         # (n, (k+1)*limbs, (k+1)l, N) int8 conv RHS
+    bk_tp: jax.Array           # (n, (k+1)l, k+1, limbs, 2N) int8 Toeplitz gen
     ks_table_limbs: jax.Array  # (kN*t*base, (n+1)*4) int8 one-hot matmul table
     params: TfheParams = struct.field(pytree_node=False)
 
@@ -64,6 +65,8 @@ def make_cloud_key(k_bk: jax.Array, k_ks: jax.Array, sk: SecretKey) -> CloudKey:
     bk = tlwe.trgsw_encrypt(k_bk, sk.tlwe_key, sk.lwe_key, p)  # (n, (k+1)l, k+1, N)
     # Conv RHS form: per step, contraction rows G=(k+1)l, outputs O=(k+1).
     bk_conv = jax.vmap(lambda g: poly.prepare_conv_rhs(g, p.bk_limbs))(bk)
+    # Toeplitz-generator form (doubled, limb-split) for the matmul backend.
+    bk_tp = jax.vmap(lambda g: poly.prepare_toeplitz_rhs(g, p.bk_limbs))(bk)
 
     # --- Keyswitch key: ks[i][j][v] = LWE_s(v * K_i / base^(j+1)), v=0 row zero.
     kn = p.k * p.N
@@ -82,4 +85,5 @@ def make_cloud_key(k_bk: jax.Array, k_ks: jax.Array, sk: SecretKey) -> CloudKey:
     table = table.at[:, :, 0, :].set(0)
     tl = poly.split_limbs_i8(table, 4)  # (kN, t, base, n+1, 4)
     ks_table_limbs = tl.reshape(kn * p.ks_t * p.ks_base, (p.n + 1) * 4)
-    return CloudKey(bk=bk, bk_conv=bk_conv, ks_table_limbs=ks_table_limbs, params=p)
+    return CloudKey(bk=bk, bk_conv=bk_conv, bk_tp=bk_tp,
+                    ks_table_limbs=ks_table_limbs, params=p)

@@ -54,18 +54,24 @@ def blind_rotate(ck: CloudKey, bara: jax.Array, barb: jax.Array, mu) -> jax.Arra
          rotate.negacyclic_rotate(tv, (2 * p.N - barb) % (2 * p.N))[:, None, :]],
         axis=1,
     )
+    use_toeplitz = p.ext_backend == "toeplitz"
+    bk_steps = ck.bk_tp if use_toeplitz else ck.bk_conv
 
-    def step(i, acc):
-        amt = bara[:, i]  # (B,)
+    def step(acc, xs):
+        amt, bk_i = xs
         rot = rotate.negacyclic_rotate(acc, amt[:, None])  # broadcast over k+1
         diff = rot - acc
         d = dec.decompose(diff, p)                    # (B, k+1, N, l) int8
         d = jnp.moveaxis(d, -1, -2)                   # (B, k+1, l, N)
         d = d.reshape(B, (p.k + 1) * p.l, p.N)
-        delta = poly.negacyclic_conv_i8(d, ck.bk_conv[i], p.bk_limbs)  # (B, k+1, N)
-        return acc + delta
+        if use_toeplitz:
+            delta = poly.extprod_toeplitz_i8(d, bk_i, p.bk_limbs)
+        else:
+            delta = poly.negacyclic_conv_i8(d, bk_i, p.bk_limbs)
+        return acc + delta, ()
 
-    return jax.lax.fori_loop(0, p.n, step, acc)
+    acc, _ = jax.lax.scan(step, acc, (bara.T, bk_steps))
+    return acc
 
 
 def keyswitch_onehot(p, a_ext: jax.Array) -> jax.Array:

@@ -137,6 +137,76 @@ def prepare_conv_rhs(q: jax.Array, limbs: int) -> jax.Array:
     return ql.reshape(O * limbs, G, N)
 
 
+def doubled_neg(q: jax.Array) -> jax.Array:
+    """vv = concat(-q, q) along the last axis: the generator vector from which
+    every negacyclic-Toeplitz row is a contiguous window (row t = vv[N-t:2N-t])."""
+    return jnp.concatenate([-q, q], axis=-1)
+
+
+def negacyclic_toeplitz(vv: jax.Array, block: int | None = None) -> jax.Array:
+    """Materialize the negacyclic matrix W[.., t, j] = vv[.., N - t + j] from
+    the doubled generator, using ONLY static slices/stacks (TPU-friendly: no
+    gather, no conv).  vv: (..., 2N) -> (..., N, N) with W[t] = X^t * q rows.
+
+    Two-stage skew: fine shifts t0 in [0, block) then coarse block shifts --
+    136 static slices total, intermediates ~(block, N + (U-1)*block).
+    """
+    N = vv.shape[-1] // 2
+    if block is None:
+        block = min(128, N)
+    assert N % block == 0
+    U = N // block
+    span = N + (U - 1) * block  # window covering all coarse offsets per t0
+    # A[.., t0, i] = vv[.., (block - t0) + i], i in [0, span)
+    A = jnp.stack([
+        jax.lax.slice_in_dim(vv, block - t0, block - t0 + span, axis=-1)
+        for t0 in range(block)
+    ], axis=-2)  # (..., block, span)
+    # W[.., t1*block + t0, j] = vv[.., N - t0 - block*t1 + j]
+    #                        = A[.., t0, (N - block) - block*t1 + j]
+    blocks = [
+        jax.lax.slice_in_dim(A, (N - block) - block * t1, (N - block) - block * t1 + N, axis=-1)
+        for t1 in range(U)
+    ]
+    W = jnp.stack(blocks, axis=-3)  # (..., U, block, N)
+    return W.reshape(vv.shape[:-1] + (N, N))
+
+
+def extprod_toeplitz_i8(digits: jax.Array, vv_limbs: jax.Array, limbs: int) -> jax.Array:
+    """External product via explicit negacyclic-Toeplitz int8 matmul.
+
+    digits: (B, G, N) int8; vv_limbs: (G, O, limbs, 2N) int8 (doubled
+    limb-split TRGSW row polys, from `prepare_toeplitz_rhs`).
+    Returns (B, O, N) int32 mod 2^32.  Functionally identical to
+    `negacyclic_conv_i8` but lowers to one dense MXU matmul per call --
+    XLA's conv lowering for kernel-size-N 1D convs is ~50x slower in-loop.
+    """
+    B, G, N = digits.shape
+    O = vv_limbs.shape[1]
+    W = negacyclic_toeplitz(vv_limbs)              # (G, O, L, N, N) [t, j]
+    W = jnp.moveaxis(W, -2, 1)                     # (G, N_t, O, L, N_j)
+    W = W.reshape(G * N, O * limbs * N)
+    out = jnp.dot(digits.reshape(B, G * N), W, preferred_element_type=jnp.int32)
+    out = out.reshape(B, O, limbs, N)
+    return recombine_limbs_i32(jnp.moveaxis(out, 2, -1), limbs)
+
+
+def prepare_toeplitz_rhs(q: jax.Array, limbs: int) -> jax.Array:
+    """Precompute the doubled limb-split generator for `extprod_toeplitz_i8`.
+
+    q: (G, O, N) int32 -> (G, O, limbs, 2N) int8.
+
+    NB: the negated half is limb-split from -q (int32) rather than negating
+    the limbs of q: balanced limbs hit -128, whose int8 negation overflows.
+    Recombination is linear, so mixing limbs-of(-q) in the wrap region with
+    limbs-of(q) elsewhere reconstructs the exact signed Toeplitz.
+    """
+    neg = split_limbs_i8(-q, limbs)                # (G, O, N, limbs)
+    pos = split_limbs_i8(q, limbs)
+    vv = jnp.concatenate([neg, pos], axis=-2)      # (G, O, 2N, limbs)
+    return jnp.moveaxis(vv, -1, -2)                # (G, O, limbs, 2N)
+
+
 def key_negacyclic_mul(key_bits: jax.Array, a: jax.Array) -> jax.Array:
     """sum_u key_u * a_u mod X^N+1, exact, via the int8 conv path.
 

@@ -38,7 +38,10 @@ class TfheParams:
         in the int8 MXU external product (4 = exact torus32; 3 trades the
         lowest limb for ~25% fewer MACs and adds noise with stdev ~2^-10
         of a torus *per CMUX term*, which quadrature-sums to well below
-        max_stdev over n CMUX steps -- see ops/external_product.py).
+        max_stdev over n CMUX steps -- see ops/poly.py).
+      ext_backend: external-product kernel: "toeplitz" (explicit negacyclic
+        int8 matmul, fast on TPU) or "conv" (lax.conv formulation; reference
+        implementation, ~50x slower inside the blind-rotation loop on TPU).
     """
 
     n: int
@@ -52,6 +55,8 @@ class TfheParams:
     ks_basebit: int
     max_stdev: float = 0.012467
     bk_limbs: int = 4
+    ext_backend: str = "toeplitz"
+
 
     @property
     def bg(self) -> int:

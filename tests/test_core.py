@@ -177,3 +177,29 @@ def test_trgsw_external_product(toy_keys):
         err = np.minimum(err, (1 << 32) - err)
         # error bounded by decomposition precision * N * digits
         assert err.max() < 2 ** (32 - TOY.l * TOY.bgbit) * TOY.N * (TOY.k + 1) * TOY.l
+
+
+def test_toeplitz_backend_matches_reference():
+    """extprod_toeplitz_i8 must equal the exact int32 negacyclic product,
+    including the -128-limb edge case (split of -q, not negated limbs)."""
+    rng = np.random.default_rng(8)
+    B, G, O, N, L = 3, 6, 2, 256, 4
+    digits = jnp.asarray(rng.integers(-64, 64, (B, G, N), dtype=np.int64).astype(np.int8))
+    q = rng.integers(-(2**31), 2**31, (G, O, N), dtype=np.int64).astype(np.int32)
+    # force some -128 limbs deterministically
+    q[0, 0, :4] = np.int32(-128 & 0xFF | 0x80000000 - 2**31)  # low byte 0x80
+    q = jnp.asarray(q)
+    want = np.asarray(poly.negacyclic_extproduct_reference(digits, q))
+    got = np.asarray(poly.extprod_toeplitz_i8(digits, poly.prepare_toeplitz_rhs(q, L), L))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_toeplitz_3limb_error_bound():
+    rng = np.random.default_rng(9)
+    B, G, O, N = 2, 6, 2, 128
+    digits = jnp.asarray(rng.integers(-64, 64, (B, G, N), dtype=np.int64).astype(np.int8))
+    q = jnp.asarray(rng.integers(-(2**31), 2**31, (G, O, N), dtype=np.int64).astype(np.int32))
+    want = np.asarray(poly.negacyclic_extproduct_reference(digits, q)).astype(np.int64)
+    got = np.asarray(poly.extprod_toeplitz_i8(digits, poly.prepare_toeplitz_rhs(q, 3), 3)).astype(np.int64)
+    err = np.abs((((got - want) + 2**31) % 2**32) - 2**31)
+    assert err.max() <= G * N * 64 * 128  # worst-case dropped-limb accumulation
