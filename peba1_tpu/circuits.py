@@ -42,8 +42,8 @@ import jax.numpy as jnp
 
 def const_word(be, value, nbits: int, shape=()):
     """Trivial (bootstrap-free) encryption of an integer, LSB-first bits."""
-    value = jnp.asarray(value, jnp.int64)
-    bits = [(value >> b) & 1 for b in range(nbits)]
+    value = np.asarray(value, np.int64)
+    bits = [jnp.asarray((value >> b) & 1, jnp.int32) for b in range(nbits)]
     bits = jnp.stack([jnp.broadcast_to(x, shape) for x in bits], axis=-1)
     return be.CONSTANT(bits.astype(jnp.int32), shape + (nbits,))
 

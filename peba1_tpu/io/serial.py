@@ -54,19 +54,27 @@ def load_secret_key(path: str) -> SecretKey:
 
 
 def save_cloud_key(path: str, ck: CloudKey) -> None:
+    # bk_amat is a derived expansion of bk_tp (possibly several GB); it is
+    # rebuilt on load rather than stored.
     np.savez_compressed(
         path,
         __params__=np.frombuffer(_params_to_json(ck.params).encode(), np.uint8),
         bk=np.asarray(ck.bk),
         bk_conv=np.asarray(ck.bk_conv),
+        bk_tp=np.asarray(ck.bk_tp),
         ks_table_limbs=np.asarray(ck.ks_table_limbs),
     )
 
 
 def load_cloud_key(path: str) -> CloudKey:
+    from ..ops import poly
+
     z = np.load(path)
     params = _params_from_json(bytes(z["__params__"]).decode())
+    bk_tp = jnp.asarray(z["bk_tp"])
+    bk_amat = poly.prepare_amat(bk_tp) if params.ext_backend == "amat" else None
     return CloudKey(bk=jnp.asarray(z["bk"]), bk_conv=jnp.asarray(z["bk_conv"]),
+                    bk_tp=bk_tp, bk_amat=bk_amat,
                     ks_table_limbs=jnp.asarray(z["ks_table_limbs"]), params=params)
 
 

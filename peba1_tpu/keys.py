@@ -45,6 +45,9 @@ class CloudKey:
     bk: jax.Array              # (n, (k+1)l, k+1, N) int32 -- TRGSW(s_i)
     bk_conv: jax.Array         # (n, (k+1)*limbs, (k+1)l, N) int8 conv RHS
     bk_tp: jax.Array           # (n, (k+1)l, k+1, limbs, 2N) int8 Toeplitz gen
+    # (n, (k+1)l, K, k+1, limbs, span) int8 fine-shift stage, or None unless
+    # ext_backend == "amat" (it is large: ~7.4 GB at peba1_128/limbs=4)
+    bk_amat: jax.Array | None
     ks_table_limbs: jax.Array  # (kN*t*base, (n+1)*4) int8 one-hot matmul table
     params: TfheParams = struct.field(pytree_node=False)
 
@@ -67,6 +70,7 @@ def make_cloud_key(k_bk: jax.Array, k_ks: jax.Array, sk: SecretKey) -> CloudKey:
     bk_conv = jax.vmap(lambda g: poly.prepare_conv_rhs(g, p.bk_limbs))(bk)
     # Toeplitz-generator form (doubled, limb-split) for the matmul backend.
     bk_tp = jax.vmap(lambda g: poly.prepare_toeplitz_rhs(g, p.bk_limbs))(bk)
+    bk_amat = poly.prepare_amat(bk_tp) if p.ext_backend == "amat" else None
 
     # --- Keyswitch key: ks[i][j][v] = LWE_s(v * K_i / base^(j+1)), v=0 row zero.
     kn = p.k * p.N
@@ -85,5 +89,5 @@ def make_cloud_key(k_bk: jax.Array, k_ks: jax.Array, sk: SecretKey) -> CloudKey:
     table = table.at[:, :, 0, :].set(0)
     tl = poly.split_limbs_i8(table, 4)  # (kN, t, base, n+1, 4)
     ks_table_limbs = tl.reshape(kn * p.ks_t * p.ks_base, (p.n + 1) * 4)
-    return CloudKey(bk=bk, bk_conv=bk_conv, bk_tp=bk_tp,
+    return CloudKey(bk=bk, bk_conv=bk_conv, bk_tp=bk_tp, bk_amat=bk_amat,
                     ks_table_limbs=ks_table_limbs, params=p)

@@ -54,8 +54,8 @@ def blind_rotate(ck: CloudKey, bara: jax.Array, barb: jax.Array, mu) -> jax.Arra
          rotate.negacyclic_rotate(tv, (2 * p.N - barb) % (2 * p.N))[:, None, :]],
         axis=1,
     )
-    use_toeplitz = p.ext_backend == "toeplitz"
-    bk_steps = ck.bk_tp if use_toeplitz else ck.bk_conv
+    backend = p.ext_backend
+    bk_steps = {"toeplitz": ck.bk_tp, "conv": ck.bk_conv, "amat": ck.bk_amat}[backend]
 
     def step(acc, xs):
         amt, bk_i = xs
@@ -64,8 +64,10 @@ def blind_rotate(ck: CloudKey, bara: jax.Array, barb: jax.Array, mu) -> jax.Arra
         d = dec.decompose(diff, p)                    # (B, k+1, N, l) int8
         d = jnp.moveaxis(d, -1, -2)                   # (B, k+1, l, N)
         d = d.reshape(B, (p.k + 1) * p.l, p.N)
-        if use_toeplitz:
+        if backend == "toeplitz":
             delta = poly.extprod_toeplitz_i8(d, bk_i, p.bk_limbs)
+        elif backend == "amat":
+            delta = poly.extprod_amat_i8(d, bk_i, p.bk_limbs, p.N)
         else:
             delta = poly.negacyclic_conv_i8(d, bk_i, p.bk_limbs)
         return acc + delta, ()

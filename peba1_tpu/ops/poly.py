@@ -207,6 +207,54 @@ def prepare_toeplitz_rhs(q: jax.Array, limbs: int) -> jax.Array:
     return jnp.moveaxis(vv, -1, -2)                # (G, O, limbs, 2N)
 
 
+def prepare_amat(vv_limbs: jax.Array, block: int = 128) -> jax.Array:
+    """Precompute the fine-shift stage of the Toeplitz build ("A-matrix").
+
+    vv_limbs: (..., G, O, L, 2N) doubled limb generator (prepare_toeplitz_rhs)
+    -> (..., G, K, O, L, span) int8 with A[kappa, c] = vv[(N-(U-1)K) - kappa + c],
+    span = N + (U-1)K, K = min(block, N), U = N // K.
+
+    With this laid out at keygen, the per-step full Toeplitz W assembles from
+    U contiguous slices with NO transpose:
+      W[(g, u*K+kappa), (o, l, j)] = A[g, kappa, o, l, j + (U-1-u)*K].
+    """
+    n2 = vv_limbs.shape[-1]
+    N = n2 // 2
+    K = min(block, N)
+    U = N // K
+    span = N + (U - 1) * K
+    base = N - (U - 1) * K
+    sl = [
+        jax.lax.slice_in_dim(vv_limbs, base - kappa, base - kappa + span, axis=-1)
+        for kappa in range(K)
+    ]
+    A = jnp.stack(sl, axis=-4)  # (..., G, K, O, L, span)
+    return A
+
+
+def extprod_amat_i8(digits: jax.Array, A_i: jax.Array, limbs: int, N: int) -> jax.Array:
+    """External product via the precomputed A-matrix: slice-assemble W, one dot.
+
+    digits: (B, G, N) int8; A_i: (G, K, O, L, span) int8 for this step.
+    Returns (B, O, N) int32 mod 2^32.  Identical math to extprod_toeplitz_i8
+    but the only per-step data movement is U contiguous slice-copies (the W
+    materialization) -- no transposes, no fine-stage rebuild.
+    """
+    B, G, _ = digits.shape
+    K = A_i.shape[1]
+    O, L = A_i.shape[2], A_i.shape[3]
+    U = N // K
+    w_slices = [
+        jax.lax.slice_in_dim(A_i, (U - 1 - u) * K, (U - 1 - u) * K + N, axis=-1)
+        for u in range(U)
+    ]
+    W = jnp.stack(w_slices, axis=1)            # (G, U, K, O, L, N)
+    W = W.reshape(G * N, O * L * N)
+    out = jnp.dot(digits.reshape(B, G * N), W, preferred_element_type=jnp.int32)
+    out = out.reshape(B, O, limbs, N)
+    return recombine_limbs_i32(jnp.moveaxis(out, 2, -1), limbs)
+
+
 def key_negacyclic_mul(key_bits: jax.Array, a: jax.Array) -> jax.Array:
     """sum_u key_u * a_u mod X^N+1, exact, via the int8 conv path.
 

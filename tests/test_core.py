@@ -203,3 +203,32 @@ def test_toeplitz_3limb_error_bound():
     got = np.asarray(poly.extprod_toeplitz_i8(digits, poly.prepare_toeplitz_rhs(q, 3), 3)).astype(np.int64)
     err = np.abs((((got - want) + 2**31) % 2**32) - 2**31)
     assert err.max() <= G * N * 64 * 128  # worst-case dropped-limb accumulation
+
+
+def test_amat_backend_matches_toeplitz():
+    """The A-matrix slice-assembled external product equals the Toeplitz one."""
+    rng = np.random.default_rng(10)
+    B, G, O, N, L = 2, 6, 2, 256, 4
+    digits = jnp.asarray(rng.integers(-64, 64, (B, G, N), dtype=np.int64).astype(np.int8))
+    q = jnp.asarray(rng.integers(-(2**31), 2**31, (G, O, N), dtype=np.int64).astype(np.int32))
+    want = np.asarray(poly.negacyclic_extproduct_reference(digits, q))
+    vv = poly.prepare_toeplitz_rhs(q, L)
+    A = poly.prepare_amat(vv)
+    got = np.asarray(poly.extprod_amat_i8(digits, A, L, N))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_amat_backend_full_bootstrap(rng):
+    """Full gate bootstrap on the amat backend decrypts correctly (toy)."""
+    import dataclasses as _dc
+
+    from peba1_tpu import gates
+    from peba1_tpu.ops import bootstrap as _bs
+
+    p = _dc.replace(TOY, ext_backend="amat")
+    sk, ck = keys.keygen(rng, p)
+    bits = jnp.asarray([0, 1, 1, 0])
+    ct = gates.encrypt_bits(jax.random.PRNGKey(5), sk, bits)
+    out = _bs.bootstrap(ck, ct, jnp.int32(gates.MU_1_8))
+    got = np.asarray(lwe.decrypt_bit(out, sk.lwe_key))
+    np.testing.assert_array_equal(got, np.asarray(bits))
