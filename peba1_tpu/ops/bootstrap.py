@@ -57,13 +57,21 @@ def blind_rotate(ck: CloudKey, bara: jax.Array, barb: jax.Array, mu) -> jax.Arra
     backend = p.ext_backend
     bk_steps = {"toeplitz": ck.bk_tp, "conv": ck.bk_conv, "amat": ck.bk_amat}[backend]
 
+    if p.use_pallas_rotate:
+        from . import pallas_kernels as pk
+        interp = jax.devices()[0].platform != "tpu"
+
     def step(acc, xs):
         amt, bk_i = xs
-        rot = rotate.negacyclic_rotate(acc, amt[:, None])  # broadcast over k+1
-        diff = rot - acc
-        d = dec.decompose(diff, p)                    # (B, k+1, N, l) int8
-        d = jnp.moveaxis(d, -1, -2)                   # (B, k+1, l, N)
-        d = d.reshape(B, (p.k + 1) * p.l, p.N)
+        if p.use_pallas_rotate:
+            d = pk.rotate_decompose(acc.reshape(B, -1), amt, p, interpret=interp)
+            d = d.reshape(B, (p.k + 1) * p.l, p.N)
+        else:
+            rot = rotate.negacyclic_rotate(acc, amt[:, None])  # over k+1 polys
+            diff = rot - acc
+            d = dec.decompose(diff, p)                # (B, k+1, N, l) int8
+            d = jnp.moveaxis(d, -1, -2)               # (B, k+1, l, N)
+            d = d.reshape(B, (p.k + 1) * p.l, p.N)
         if backend == "toeplitz":
             delta = poly.extprod_toeplitz_i8(d, bk_i, p.bk_limbs)
         elif backend == "amat":

@@ -56,6 +56,9 @@ class TfheParams:
     max_stdev: float = 0.012467
     bk_limbs: int = 4
     ext_backend: str = "toeplitz"
+    # Fuse rotation+difference+decomposition into one Pallas VMEM pass
+    # (vs log2(2N)+4 HBM round-trips); interpret-mode on non-TPU backends.
+    use_pallas_rotate: bool = False
 
 
     @property
@@ -148,8 +151,17 @@ TOY_NOISY = TfheParams(
     ks_basebit=2,
 )
 
+# Throughput-tuned variant of the lambda=128 set: 3 bootstrapping-key limbs
+# (the dropped low byte adds noise stdev ~2^22 in torus32 units per bootstrap,
+# negligible against the 2^28 decoding margin -- see ops/poly.split_limbs_i8)
+# and the fused Pallas rotation kernel.  Gate outputs remain exact with
+# overwhelming probability; the batch-correctness gate in bench.py verifies.
+PEBA1_128_FAST = dataclasses.replace(
+    PEBA1_128, bk_limbs=3, use_pallas_rotate=True)
+
 PRESETS = {
     "peba1_128": PEBA1_128,
+    "peba1_128_fast": PEBA1_128_FAST,
     "ring_2048": RING_2048,
     "toy": TOY,
     "toy_noisy": TOY_NOISY,
