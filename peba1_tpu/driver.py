@@ -155,7 +155,12 @@ def main(argv=None):
     ap.add_argument("--loop", type=int, default=128)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--skip-cipher-suite", action="store_true")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="force a JAX backend (this machine's sitecustomize "
+                         "pins jax_platforms, so env vars are ignored)")
     args = ap.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     run(args.params, args.nslots, args.bitsize, args.loop, args.seed,
         args.skip_cipher_suite)
 

@@ -8,8 +8,8 @@ TPU-ready precomputed forms:
 
   * bk_conv: the TRGSW bootstrapping key limb-split to int8 and flipped, ready
     to be the RHS of the int8 MXU convolution in each blind-rotation step.
-  * ks_table_limbs: the keyswitch key flattened to a (kN*t*base, (n+1)*4) int8
-    matrix so key switching is a single one-hot int8 matmul.
+  * ks_table_limbs: the keyswitch key flattened to a (kN*t, (n+1)*4) int8
+    matrix so key switching is a single digit-valued int8 matmul.
 
 The secret-key / cloud-key split is a hard API boundary: server-side ops take
 only CloudKey (fixing the reference's smell of the secret key riding through
@@ -43,12 +43,12 @@ class SecretKey:
 @struct.dataclass
 class CloudKey:
     bk: jax.Array              # (n, (k+1)l, k+1, N) int32 -- TRGSW(s_i)
-    bk_conv: jax.Array         # (n, (k+1)*limbs, (k+1)l, N) int8 conv RHS
-    bk_tp: jax.Array           # (n, (k+1)l, k+1, limbs, 2N) int8 Toeplitz gen
-    # (n, (k+1)l, K, k+1, limbs, span) int8 fine-shift stage, or None unless
+    bk_conv: jax.Array         # (n, C, (k+1)l, N) int8 conv RHS; C=sum(plan)
+    bk_tp: jax.Array           # (n, (k+1)l, C, 2N) int8 Toeplitz generator
+    # (n, (k+1)l, K, C, span) int8 fine-shift stage, or None unless
     # ext_backend == "amat" (it is large: ~7.4 GB at peba1_128/limbs=4)
     bk_amat: jax.Array | None
-    ks_table_limbs: jax.Array  # (kN*t*base, (n+1)*4) int8 one-hot matmul table
+    ks_table_limbs: jax.Array  # (kN*t, (n+1)*4) int8 digit-matmul table
     params: TfheParams = struct.field(pytree_node=False)
 
 
@@ -67,27 +67,24 @@ def make_cloud_key(k_bk: jax.Array, k_ks: jax.Array, sk: SecretKey) -> CloudKey:
     # --- Bootstrapping key: TRGSW encryptions of each small-key bit.
     bk = tlwe.trgsw_encrypt(k_bk, sk.tlwe_key, sk.lwe_key, p)  # (n, (k+1)l, k+1, N)
     # Conv RHS form: per step, contraction rows G=(k+1)l, outputs O=(k+1).
-    bk_conv = jax.vmap(lambda g: poly.prepare_conv_rhs(g, p.bk_limbs))(bk)
+    bk_conv = jax.vmap(lambda g: poly.prepare_conv_rhs(g, p.limb_plan))(bk)
     # Toeplitz-generator form (doubled, limb-split) for the matmul backend.
-    bk_tp = jax.vmap(lambda g: poly.prepare_toeplitz_rhs(g, p.bk_limbs))(bk)
+    bk_tp = jax.vmap(lambda g: poly.prepare_toeplitz_rhs(g, p.limb_plan))(bk)
     bk_amat = poly.prepare_amat(bk_tp) if p.ext_backend == "amat" else None
 
-    # --- Keyswitch key: ks[i][j][v] = LWE_s(v * K_i / base^(j+1)), v=0 row zero.
+    # --- Keyswitch key: ks[i][j] = LWE_s(K_i / base^(j+1)); the switched
+    # sample accumulates digit-value * row (ops/bootstrap.keyswitch_digits).
     kn = p.k * p.N
     K = sk.extracted_key  # (kN,)
-    v = jnp.arange(p.ks_base, dtype=jnp.int32)
     shifts = jnp.array([32 - (j + 1) * p.ks_basebit for j in range(p.ks_t)], jnp.int32)
-    # mu[i, j, v] = v * K_i << shift_j  (int32 wrap)
-    mu = (v[None, None, :] * K[:, None, None]) << shifts[None, :, None]
+    # mu[i, j] = K_i << shift_j  (int32 wrap)
+    mu = K[:, None] << shifts[None, :]
     ka, ke = jax.random.split(k_ks)
-    a = torus.uniform_torus32(ka, (kn, p.ks_t, p.ks_base, p.n))
-    e = torus.gaussian_torus32(ke, p.lwe_stdev, (kn, p.ks_t, p.ks_base))
+    a = torus.uniform_torus32(ka, (kn, p.ks_t, p.n))
+    e = torus.gaussian_torus32(ke, p.lwe_stdev, (kn, p.ks_t))
     b = poly.dot_key_i32(a, sk.lwe_key) + mu + e
-    table = jnp.concatenate([a, b[..., None]], axis=-1)  # (kN, t, base, n+1)
-    # v == 0 entries are skipped by TFHE's lweKeySwitch (no noise added);
-    # mirror that by zeroing them so the one-hot matmul is equivalent.
-    table = table.at[:, :, 0, :].set(0)
-    tl = poly.split_limbs_i8(table, 4)  # (kN, t, base, n+1, 4)
-    ks_table_limbs = tl.reshape(kn * p.ks_t * p.ks_base, (p.n + 1) * 4)
+    table = jnp.concatenate([a, b[..., None]], axis=-1)  # (kN, t, n+1)
+    tl = poly.split_limbs_i8(table, 4)  # (kN, t, n+1, 4)
+    ks_table_limbs = tl.reshape(kn * p.ks_t, (p.n + 1) * 4)
     return CloudKey(bk=bk, bk_conv=bk_conv, bk_tp=bk_tp, bk_amat=bk_amat,
                     ks_table_limbs=ks_table_limbs, params=p)

@@ -20,8 +20,21 @@ from ..params import TfheParams
 
 
 def gadget_offset(params: TfheParams) -> int:
-    """sum_{p=1..l} 2^(32 - p*bgbit) * Bg/2, as an unsigned 32-bit value."""
-    off = 0
+    """Digit-balancing plus round-to-nearest offset, as unsigned 32-bit.
+
+    sum_{p=1..l} 2^(32 - p*bgbit) * Bg/2   (balanced digits in [-Bg/2, Bg/2))
+    + 2^(32 - l*bgbit - 1)                 (half-ulp: round-to-nearest)
+
+    Without the half-ulp term the remainder x - recompose(decompose(x)) is
+    uniform in (0, ulp] -- a systematic +ulp/2 bias per coefficient whose
+    key-convolved accumulation over the blind rotation measured ~7.6x the
+    centered-remainder noise (scripts/tpu_noise_diag.py); at l*bgbit = 16
+    (the l=2/Bg=2^8 gadget) that breaks gate decoding outright.  TFHE v1.x
+    itself does not round (its l*bgbit = 21 hides the bias); we deviate --
+    conformance is pinned at gate outputs, not internal noise (SURVEY.md
+    hard part #1).
+    """
+    off = 1 << (32 - params.l * params.bgbit - 1)
     for p in range(1, params.l + 1):
         off += (1 << (32 - p * params.bgbit)) * params.half_bg
     return off % (1 << 32)

@@ -58,6 +58,136 @@ def _rot_dec_kernel(amt_ref, acc_ref, out_ref, *, params: TfheParams):
                 d.astype(jnp.int32) - p.half_bg).astype(jnp.int8)
 
 
+def _decompose_block(diff: jax.Array, p: TfheParams) -> list:
+    """Gadget digits of a (Bt, N) int32 block -> l int8 blocks."""
+    off = jnp.uint32(np.uint32(dec.gadget_offset(p)))
+    ud = diff.astype(jnp.uint32) + off
+    outs = []
+    for q in range(p.l):
+        d = (ud >> (32 - (q + 1) * p.bgbit)) & (p.bg - 1)
+        outs.append((d.astype(jnp.int32) - p.half_bg).astype(jnp.int8))
+    return outs
+
+
+def _fused_cmux_kernel(amt_ref, vv_ref, acc_in_ref, out_ref, d_ref, a_ref,
+                       *, params: TfheParams, plan, fine: int):
+    """One (batch-tile, step) grid cell of the fused blind rotation.
+
+    Per step: rotate+diff+decompose the VMEM-resident accumulator, build the
+    negacyclic-Toeplitz weight tiles from the step's doubled generator with
+    in-VMEM slice copies, run U int8 MXU dots per output column-poly, fold
+    the limb recombination into the epilogue, accumulate into out_ref.
+
+    vv_ref: (1, G, C, 2N) int8 this step's doubled limb generator.
+    acc_in/out: (Bt, (k+1)*N) int32; out_ref doubles as the resident acc
+    (same block for every step of a batch tile -> stays in VMEM).
+    a_ref: (G, C, K, span) int8 scratch (fine-shift stage; K and span last
+    so the int8 (32, 128) tiling pads only the small G, C leading dims).
+    d_ref: (Bt, G*N) int8 scratch (digits).
+    """
+    p = params
+    N, k1, l = p.N, p.k + 1, p.l
+    G = k1 * l
+    K = fine
+    U = N // K
+    span = N + (U - 1) * K
+    base = N - (U - 1) * K
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        out_ref[:] = acc_in_ref[:]
+
+    amt = amt_ref[:, pl.ds(s, 1)]  # (Bt, 1) -- this step's rotation amounts
+    # --- rotate + diff + decompose into d_ref ----------------------------
+    for u in range(k1):
+        x = out_ref[:, u * N:(u + 1) * N]
+        diff = _rotate_block(x, amt, N) - x
+        for q, dq in enumerate(_decompose_block(diff, p)):
+            g = u * l + q
+            d_ref[:, g * N:(g + 1) * N] = dq
+
+    # --- fine-shift stage: a_ref[g, c, kappa, j] = vv[g, c, base-kappa+j] -
+    for kappa in range(K):
+        a_ref[:, :, kappa, :] = vv_ref[0, :, :, base - kappa: base - kappa + span]
+
+    # --- U dots per column-poly c, limb-recombine into the accumulator ---
+    d = d_ref[:].reshape(-1, G, N)
+    c0 = 0
+    for o, nl in enumerate(plan):
+        delta_o = None
+        for m in range(nl):
+            c = c0 + m
+            shift = 8 * (4 - nl) + 8 * m
+            out_c = None
+            for u in range(U):
+                lhs = d[:, :, u * K:(u + 1) * K].reshape(-1, G * K)
+                off_u = (U - 1 - u) * K
+                rhs = a_ref[:, c, :, off_u: off_u + N].reshape(G * K, N)
+                acc = jax.lax.dot_general(
+                    lhs, rhs, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                out_c = acc if out_c is None else out_c + acc
+            term = out_c << shift
+            delta_o = term if delta_o is None else delta_o + term
+        out_ref[:, o * N:(o + 1) * N] += delta_o
+        c0 += nl
+
+
+@functools.partial(jax.jit, static_argnames=("params", "block", "fine", "interpret"))
+def fused_blind_rotate(acc_flat: jax.Array, bara_t: jax.Array, vv_steps: jax.Array,
+                       params: TfheParams, block: int = 128, fine: int = 128,
+                       interpret: bool = False) -> jax.Array:
+    """Full blind rotation as ONE Pallas kernel.
+
+    acc_flat: (B, (k+1)*N) int32 initial accumulator (testvector rotated by
+      the body phase); bara_t: (B, n) int32 per-step rotation amounts;
+    vv_steps: (n, G, C, 2N) int8 doubled limb generators (CloudKey.bk_tp).
+    Returns the final accumulator (B, (k+1)*N) int32.
+
+    The accumulator block stays resident in VMEM across all n steps of a
+    batch tile (grid = (B/block, n), step-major inner): per step the only
+    HBM traffic is the G*C*2N generator block (~56 KB) -- no W
+    materialization, no digit round-trips, no accumulator round-trips.
+    """
+    p = params
+    plan = p.limb_plan
+    B = acc_flat.shape[0]
+    n_steps, G, C, n2 = vv_steps.shape
+    N = p.N
+    bt = min(block, B)
+    assert B % bt == 0, (B, bt)
+    K = min(fine, N)
+    U = N // K
+    span = N + (U - 1) * K
+    grid = (B // bt, n_steps)
+    # The amt block must satisfy TPU tiling (last dim 128-divisible): keep
+    # the full padded (bt, n_pad) row-block resident and slice per step.
+    n_pad = -(-n_steps // 128) * 128
+    bara_t = jnp.pad(bara_t, ((0, 0), (0, n_pad - n_steps)))
+    kernel = functools.partial(
+        _fused_cmux_kernel, params=p, plan=plan, fine=K)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, n_pad), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, C, n2), lambda i, s: (s, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, (p.k + 1) * N), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, (p.k + 1) * N), lambda i, s: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, (p.k + 1) * N), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((bt, G * N), jnp.int8),
+            pltpu.VMEM((G, C, K, span), jnp.int8),
+        ],
+        interpret=interpret,
+    )(bara_t, vv_steps, acc_flat)
+
+
 @functools.partial(jax.jit, static_argnames=("params", "block", "interpret"))
 def rotate_decompose(acc_flat: jax.Array, amt: jax.Array, params: TfheParams,
                      block: int = 256, interpret: bool = False) -> jax.Array:

@@ -53,6 +53,16 @@ def negacyclic_mul_naive(p: jax.Array, q: jax.Array) -> jax.Array:
     return jnp.einsum("...t,...tj->...j", p, m)
 
 
+def round_to_limbs(x: jax.Array, limbs: int) -> jax.Array:
+    """Round torus32 to the top `limbs` bytes (the canonical truncated value
+    that split_limbs_i8(x, limbs) represents); identity when limbs == 4."""
+    x = jnp.asarray(x, jnp.int32)
+    if limbs >= 4:
+        return x
+    drop = 8 * (4 - limbs)
+    return jnp.bitwise_and(x + (1 << (drop - 1)), np.int32(-1 << drop))
+
+
 def split_limbs_i8(x: jax.Array, limbs: int = 4) -> jax.Array:
     """Split int32 into `limbs` balanced signed 8-bit limbs (axis appended last).
 
@@ -89,22 +99,49 @@ def recombine_limbs_i32(conv: jax.Array, limbs: int) -> jax.Array:
     return acc
 
 
+def as_limb_plan(limbs, n_out: int) -> "tuple[int, ...]":
+    """Normalize an int or per-output tuple into a limb plan of length n_out."""
+    if isinstance(limbs, int):
+        return (limbs,) * n_out
+    plan = tuple(limbs)
+    assert len(plan) == n_out, (plan, n_out)
+    return plan
+
+
+def recombine_plan_i32(cols: jax.Array, plan: "tuple[int, ...]") -> jax.Array:
+    """Recombine per-(output, limb) columns into O torus32 outputs.
+
+    cols: (B, C, N) int32 with C = sum(plan), columns ordered output-major
+    (output o's plan[o] limbs contiguous, low limb first) -> (B, O, N).
+    """
+    outs = []
+    c0 = 0
+    for nl in plan:
+        shift0 = 8 * (4 - nl)
+        acc = jnp.zeros(cols.shape[:1] + cols.shape[2:], jnp.int32)
+        for m in range(nl):
+            acc = acc + (cols[:, c0 + m] << (shift0 + 8 * m))
+        outs.append(acc)
+        c0 += nl
+    return jnp.stack(outs, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("limbs",))
-def negacyclic_conv_i8(digits: jax.Array, q_limbs_flipped: jax.Array, limbs: int) -> jax.Array:
+def negacyclic_conv_i8(digits: jax.Array, q_limbs_flipped: jax.Array, limbs) -> jax.Array:
     """Batched exact negacyclic product via int8 convolution on the MXU.
 
     Args:
       digits: (B, G, N) int8 -- G gadget-digit polynomials per batch element.
-      q_limbs_flipped: (O * limbs, G, N) int8 -- for each output polynomial o
-        and limb m, the torus32 polynomial's limb, REVERSED along N (as
-        produced by `prepare_conv_rhs`).  The conv sums over G.
-      limbs: number of limbs.
+      q_limbs_flipped: (C, G, N) int8 -- one channel per (output poly, limb)
+        column (C = sum(plan)), REVERSED along N (from `prepare_conv_rhs`).
+        The conv sums over G.
+      limbs: int (uniform) or per-output limb plan.
 
     Returns:
       (B, O, N) int32: sum_g digits[:, g] * q[g, o] mod X^N+1, mod 2^32.
     """
     B, G, N = digits.shape
-    OL = q_limbs_flipped.shape[0]
+    C = q_limbs_flipped.shape[0]
     # Linear convolution: pad input by N-1 both sides; rhs already flipped.
     lin = jax.lax.conv_general_dilated(
         digits,
@@ -113,28 +150,37 @@ def negacyclic_conv_i8(digits: jax.Array, q_limbs_flipped: jax.Array, limbs: int
         padding=[(N - 1, N - 1)],
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.int32,
-    )  # (B, O*limbs, 2N-1)
+    )  # (B, C, 2N-1)
     # Negacyclic fold: c[j] = lin[j] - lin[j+N], j in [0, N).
     c = lin[..., :N] - jnp.pad(lin[..., N:], ((0, 0), (0, 0), (0, 1)))
-    c = c.reshape(B, OL // limbs, limbs, N)
-    return recombine_limbs_i32(jnp.moveaxis(c, 2, -1), limbs)
+    plan = limbs if isinstance(limbs, tuple) else as_limb_plan(limbs, _n_out(C, limbs))
+    return recombine_plan_i32(c, plan)
 
 
-def prepare_conv_rhs(q: jax.Array, limbs: int) -> jax.Array:
+def _n_out(C: int, limbs) -> int:
+    assert isinstance(limbs, int) and C % limbs == 0
+    return C // limbs
+
+
+def prepare_conv_rhs(q: jax.Array, limbs) -> jax.Array:
     """Precompute the conv RHS for `negacyclic_conv_i8` from torus32 polys.
 
     Args:
       q: (G, O, N) int32 torus polynomials (G contraction rows, O outputs).
-      limbs: limb count.
+      limbs: int (uniform) or per-output limb plan.
 
     Returns:
-      (O * limbs, G, N) int8, limb-split and reversed along N.
+      (C, G, N) int8, limb-split and reversed along N; C = sum(plan), columns
+      output-major, low limb first.
     """
     G, O, N = q.shape
-    ql = split_limbs_i8(q, limbs)          # (G, O, N, limbs)
-    ql = jnp.moveaxis(ql, (1, 3), (0, 1))  # (O, limbs, G, N)
-    ql = ql[..., ::-1]                     # flip N for correlation->convolution
-    return ql.reshape(O * limbs, G, N)
+    plan = as_limb_plan(limbs, O)
+    chans = []
+    for o, nl in enumerate(plan):
+        ql = split_limbs_i8(q[:, o], nl)       # (G, N, nl)
+        chans.append(jnp.moveaxis(ql, -1, 0))  # (nl, G, N)
+    out = jnp.concatenate(chans, axis=0)       # (C, G, N)
+    return out[..., ::-1]                      # flip N for correlation->conv
 
 
 def doubled_neg(q: jax.Array) -> jax.Array:
@@ -172,51 +218,62 @@ def negacyclic_toeplitz(vv: jax.Array, block: int | None = None) -> jax.Array:
     return W.reshape(vv.shape[:-1] + (N, N))
 
 
-def extprod_toeplitz_i8(digits: jax.Array, vv_limbs: jax.Array, limbs: int) -> jax.Array:
+def extprod_toeplitz_i8(digits: jax.Array, vv_limbs: jax.Array, limbs) -> jax.Array:
     """External product via explicit negacyclic-Toeplitz int8 matmul.
 
-    digits: (B, G, N) int8; vv_limbs: (G, O, limbs, 2N) int8 (doubled
-    limb-split TRGSW row polys, from `prepare_toeplitz_rhs`).
+    digits: (B, G, N) int8; vv_limbs: (G, C, 2N) int8 (doubled limb-split
+    TRGSW row polys, from `prepare_toeplitz_rhs`; C = sum(limb plan)).
     Returns (B, O, N) int32 mod 2^32.  Functionally identical to
     `negacyclic_conv_i8` but lowers to one dense MXU matmul per call --
     XLA's conv lowering for kernel-size-N 1D convs is ~50x slower in-loop.
     """
     B, G, N = digits.shape
-    O = vv_limbs.shape[1]
-    W = negacyclic_toeplitz(vv_limbs)              # (G, O, L, N, N) [t, j]
-    W = jnp.moveaxis(W, -2, 1)                     # (G, N_t, O, L, N_j)
-    W = W.reshape(G * N, O * limbs * N)
+    C = vv_limbs.shape[1]
+    plan = limbs if isinstance(limbs, tuple) else as_limb_plan(limbs, C // limbs)
+    W = negacyclic_toeplitz(vv_limbs)              # (G, C, N_t, N_j)
+    W = jnp.moveaxis(W, -2, 1)                     # (G, N_t, C, N_j)
+    W = W.reshape(G * N, C * N)
     out = jnp.dot(digits.reshape(B, G * N), W, preferred_element_type=jnp.int32)
-    out = out.reshape(B, O, limbs, N)
-    return recombine_limbs_i32(jnp.moveaxis(out, 2, -1), limbs)
+    return recombine_plan_i32(out.reshape(B, C, N), plan)
 
 
-def prepare_toeplitz_rhs(q: jax.Array, limbs: int) -> jax.Array:
+def prepare_toeplitz_rhs(q: jax.Array, limbs) -> jax.Array:
     """Precompute the doubled limb-split generator for `extprod_toeplitz_i8`.
 
-    q: (G, O, N) int32 -> (G, O, limbs, 2N) int8.
+    q: (G, O, N) int32 -> (G, C, 2N) int8; C = sum(limb plan), columns
+    output-major, low limb first.
 
     NB: the negated half is limb-split from -q (int32) rather than negating
     the limbs of q: balanced limbs hit -128, whose int8 negation overflows.
     Recombination is linear, so mixing limbs-of(-q) in the wrap region with
     limbs-of(q) elsewhere reconstructs the exact signed Toeplitz.
     """
-    neg = split_limbs_i8(-q, limbs)                # (G, O, N, limbs)
-    pos = split_limbs_i8(q, limbs)
-    vv = jnp.concatenate([neg, pos], axis=-2)      # (G, O, 2N, limbs)
-    return jnp.moveaxis(vv, -1, -2)                # (G, O, limbs, 2N)
+    G, O, N = q.shape
+    plan = as_limb_plan(limbs, O)
+    cols = []
+    for o, nl in enumerate(plan):
+        # Round ONCE to the canonical nl-byte value, then split +-q_r (both
+        # exactly representable).  Splitting -q and q independently would
+        # round ties (low byte 0x80) in opposite directions, making the two
+        # Toeplitz halves encode different polynomials.
+        q_r = round_to_limbs(q[:, o], nl)
+        neg = split_limbs_i8(-q_r, nl)                 # (G, N, nl)
+        pos = split_limbs_i8(q_r, nl)
+        vv = jnp.concatenate([neg, pos], axis=-2)      # (G, 2N, nl)
+        cols.append(jnp.moveaxis(vv, -1, 1))           # (G, nl, 2N)
+    return jnp.concatenate(cols, axis=1)               # (G, C, 2N)
 
 
 def prepare_amat(vv_limbs: jax.Array, block: int = 128) -> jax.Array:
     """Precompute the fine-shift stage of the Toeplitz build ("A-matrix").
 
-    vv_limbs: (..., G, O, L, 2N) doubled limb generator (prepare_toeplitz_rhs)
-    -> (..., G, K, O, L, span) int8 with A[kappa, c] = vv[(N-(U-1)K) - kappa + c],
+    vv_limbs: (..., G, C, 2N) doubled limb generator (prepare_toeplitz_rhs)
+    -> (..., G, K, C, span) int8 with A[kappa, c] = vv[(N-(U-1)K) - kappa + c],
     span = N + (U-1)K, K = min(block, N), U = N // K.
 
     With this laid out at keygen, the per-step full Toeplitz W assembles from
     U contiguous slices with NO transpose:
-      W[(g, u*K+kappa), (o, l, j)] = A[g, kappa, o, l, j + (U-1-u)*K].
+      W[(g, u*K+kappa), (c, j)] = A[g, kappa, c, j + (U-1-u)*K].
     """
     n2 = vv_limbs.shape[-1]
     N = n2 // 2
@@ -228,31 +285,31 @@ def prepare_amat(vv_limbs: jax.Array, block: int = 128) -> jax.Array:
         jax.lax.slice_in_dim(vv_limbs, base - kappa, base - kappa + span, axis=-1)
         for kappa in range(K)
     ]
-    A = jnp.stack(sl, axis=-4)  # (..., G, K, O, L, span)
+    A = jnp.stack(sl, axis=-3)  # (..., G, K, C, span)
     return A
 
 
-def extprod_amat_i8(digits: jax.Array, A_i: jax.Array, limbs: int, N: int) -> jax.Array:
+def extprod_amat_i8(digits: jax.Array, A_i: jax.Array, limbs, N: int) -> jax.Array:
     """External product via the precomputed A-matrix: slice-assemble W, one dot.
 
-    digits: (B, G, N) int8; A_i: (G, K, O, L, span) int8 for this step.
+    digits: (B, G, N) int8; A_i: (G, K, C, span) int8 for this step.
     Returns (B, O, N) int32 mod 2^32.  Identical math to extprod_toeplitz_i8
     but the only per-step data movement is U contiguous slice-copies (the W
     materialization) -- no transposes, no fine-stage rebuild.
     """
     B, G, _ = digits.shape
     K = A_i.shape[1]
-    O, L = A_i.shape[2], A_i.shape[3]
+    C = A_i.shape[2]
+    plan = limbs if isinstance(limbs, tuple) else as_limb_plan(limbs, C // limbs)
     U = N // K
     w_slices = [
         jax.lax.slice_in_dim(A_i, (U - 1 - u) * K, (U - 1 - u) * K + N, axis=-1)
         for u in range(U)
     ]
-    W = jnp.stack(w_slices, axis=1)            # (G, U, K, O, L, N)
-    W = W.reshape(G * N, O * L * N)
+    W = jnp.stack(w_slices, axis=1)            # (G, U, K, C, N)
+    W = W.reshape(G * N, C * N)
     out = jnp.dot(digits.reshape(B, G * N), W, preferred_element_type=jnp.int32)
-    out = out.reshape(B, O, limbs, N)
-    return recombine_limbs_i32(jnp.moveaxis(out, 2, -1), limbs)
+    return recombine_plan_i32(out.reshape(B, C, N), plan)
 
 
 def key_negacyclic_mul(key_bits: jax.Array, a: jax.Array) -> jax.Array:

@@ -56,8 +56,8 @@ def sharded_bootstrap(mesh: Mesh, ck: CloudKey, ct: lwe.Lwe, mu) -> lwe.Lwe:
         from .. import tlwe
         a_ext, b_ext = tlwe.sample_extract(acc)
         # tp-parallel keyswitch: one-hot matmul against the local column slice
-        onehot = bs.keyswitch_onehot(p, a_ext)
-        part = jnp.dot(onehot, ks_cols[0], preferred_element_type=jnp.int32)
+        digits = bs.keyswitch_digits(p, a_ext)
+        part = jnp.dot(digits, ks_cols[0], preferred_element_type=jnp.int32)
         cols = jax.lax.all_gather(part, "tp", axis=1, tiled=True)  # (B/dp, C)
         cols = cols[:, : (p.n + 1) * 4]
         acc32 = poly.recombine_limbs_i32(cols.reshape(-1, p.n + 1, 4), 4)

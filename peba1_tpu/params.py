@@ -34,11 +34,16 @@ class TfheParams:
       ks_basebit: log2 of the keyswitch decomposition base.
       max_stdev: maximum tolerable noise stdev for correct 1/4-msg-space
         decryption (used only by validation checks / noise tests).
-      bk_limbs: number of balanced 8-bit limbs used for the bootstrapping key
-        in the int8 MXU external product (4 = exact torus32; 3 trades the
-        lowest limb for ~25% fewer MACs and adds noise with stdev ~2^-10
-        of a torus *per CMUX term*, which quadrature-sums to well below
-        max_stdev over n CMUX steps -- see ops/poly.py).
+      bk_limbs: number of balanced 8-bit limbs used for the MASK polynomials
+        of the bootstrapping key in the int8 MXU external product.  Must stay
+        4 (exact): rounding error in a mask polynomial is multiplied by the
+        secret key polynomial when the phase is decrypted, amplifying its
+        stdev by ~sqrt(N/2) (~x23 at N=1024) -- measured on-chip as a 10x
+        noise blow-up and a >1% per-gate error rate (scripts/tpu_noise_diag).
+      bk_body_limbs: limbs for the BODY polynomial columns.  Body rounding
+        error enters the phase directly (no key amplification): dropping the
+        low byte (3 limbs) adds stdev ~2^-10 of a torus over n=630 CMUX
+        steps, far below max_stdev, and saves (k+1-1)/((k+1)*4) of the MACs.
       ext_backend: external-product kernel: "toeplitz" (explicit negacyclic
         int8 matmul, fast on TPU) or "conv" (lax.conv formulation; reference
         implementation, ~50x slower inside the blind-rotation loop on TPU).
@@ -55,10 +60,17 @@ class TfheParams:
     ks_basebit: int
     max_stdev: float = 0.012467
     bk_limbs: int = 4
+    bk_body_limbs: int = 4
     ext_backend: str = "toeplitz"
     # Fuse rotation+difference+decomposition into one Pallas VMEM pass
     # (vs log2(2N)+4 HBM round-trips); interpret-mode on non-TPU backends.
     use_pallas_rotate: bool = False
+    # Run the ENTIRE blind rotation as one Pallas kernel (ops/pallas_kernels
+    # .fused_blind_rotate): accumulator resident in VMEM across all n CMUX
+    # steps, Toeplitz weight tiles built in VMEM from the 56 KB doubled
+    # generator, limb recombination folded into the MXU epilogue.  Supersedes
+    # use_pallas_rotate when set.
+    use_fused_cmux: bool = False
 
 
     @property
@@ -74,6 +86,12 @@ class TfheParams:
         return 1 << self.ks_basebit
 
     @property
+    def limb_plan(self) -> "tuple[int, ...]":
+        """Per-output-polynomial limb counts for the external product:
+        k mask polys (exact) then the body poly (possibly truncated)."""
+        return (self.bk_limbs,) * self.k + (self.bk_body_limbs,)
+
+    @property
     def big_n(self) -> int:
         """Dimension of the extracted LWE ciphertext (= k*N)."""
         return self.k * self.N
@@ -84,7 +102,7 @@ class TfheParams:
 
     def __post_init__(self):
         assert self.N & (self.N - 1) == 0, "N must be a power of two"
-        assert 1 <= self.bk_limbs <= 4
+        assert 1 <= self.bk_body_limbs <= self.bk_limbs <= 4
         assert self.bgbit * self.l <= 32
         assert self.ks_basebit * self.ks_t <= 32
         # int8 exactness bound for the MXU external product:
@@ -151,19 +169,36 @@ TOY_NOISY = TfheParams(
     ks_basebit=2,
 )
 
-# Throughput-tuned variant of the lambda=128 set: 3 bootstrapping-key limbs
-# (the dropped low byte adds noise stdev ~2^22 in torus32 units per bootstrap,
-# negligible against the 2^28 decoding margin -- see ops/poly.split_limbs_i8)
-# and the fused Pallas rotation kernel.  Gate outputs remain exact with
-# overwhelming probability; the batch-correctness gate in bench.py verifies.
+# Throughput-tuned variant of the lambda=128 set.  Three levers, same
+# security (n, N, key distributions, encryption noise unchanged):
+#   * l=2 / Bg=2^8 gadget: (k+1)*l = 4 digit rows instead of 6 (-33% MXU
+#     MACs).  Requires the round-to-nearest gadget offset
+#     (ops/decompose.gadget_offset) -- with TFHE's biased truncation this
+#     gadget mis-decodes ~5%/gate; with rounding, measured on-chip
+#     post-bootstrap phase noise is sigma = 0.0051 against the 1/16 decoding
+#     margin (12 sigma), 0 errors in 4096 (scripts/tpu_noise_diag.py).
+#   * body polynomial truncated to 3 limbs (-12.5% MACs): body rounding
+#     error enters the phase directly (no key amplification), stdev ~2^-10;
+#     the mask stays exact (its rounding error is key-convolved, x~sqrt(N/2),
+#     measured to break decoding -- see TfheParams.bk_limbs).
+#   * fused Pallas rotate+decompose kernel (one VMEM pass per CMUX step).
+# Measured end-to-end: 5,121 bootstraps/s/chip at B=8192, chained
+# correctness 100% (scripts/tpu_bench5.py l2_body3), vs 2,005 for
+# PEBA1_128 with the XLA barrel rotate.
 PEBA1_128_FAST = dataclasses.replace(
-    PEBA1_128, bk_limbs=3, use_pallas_rotate=True)
+    PEBA1_128, l=2, bgbit=8, bk_body_limbs=3, use_pallas_rotate=True)
+
+# TOY with the PEBA1_128_FAST levers (l=2/Bg=2^8 gadget, 3-limb body,
+# Pallas rotate) so the fast configuration is exercisable end-to-end on CPU.
+TOY_FAST = dataclasses.replace(
+    TOY, l=2, bgbit=8, bk_body_limbs=3, use_pallas_rotate=True)
 
 PRESETS = {
     "peba1_128": PEBA1_128,
     "peba1_128_fast": PEBA1_128_FAST,
     "ring_2048": RING_2048,
     "toy": TOY,
+    "toy_fast": TOY_FAST,
     "toy_noisy": TOY_NOISY,
 }
 

@@ -205,6 +205,34 @@ def test_toeplitz_3limb_error_bound():
     assert err.max() <= G * N * 64 * 128  # worst-case dropped-limb accumulation
 
 
+def test_toeplitz_asymmetric_plan():
+    """Plan (4, 3): mask output bit-exact, body output = exact product of the
+    byte-rounded body polynomial (the PEBA1_128_FAST configuration)."""
+    rng = np.random.default_rng(11)
+    B, G, O, N = 2, 4, 2, 128
+    plan = (4, 3)
+    digits = jnp.asarray(rng.integers(-128, 128, (B, G, N), dtype=np.int64).astype(np.int8))
+    q = jnp.asarray(rng.integers(-(2**31), 2**31, (G, O, N), dtype=np.int64).astype(np.int32))
+    got = np.asarray(poly.extprod_toeplitz_i8(digits, poly.prepare_toeplitz_rhs(q, plan), plan))
+    # conv backend must agree exactly
+    got_conv = np.asarray(poly.negacyclic_conv_i8(digits, poly.prepare_conv_rhs(q, plan), plan))
+    np.testing.assert_array_equal(got, got_conv)
+    # amat backend must agree exactly
+    A = poly.prepare_amat(poly.prepare_toeplitz_rhs(q, plan))
+    np.testing.assert_array_equal(
+        got, np.asarray(poly.extprod_amat_i8(digits, A, plan, N)))
+    # mask output (o=0) bit-exact vs the exact reference
+    want = np.asarray(poly.negacyclic_extproduct_reference(digits, q))
+    np.testing.assert_array_equal(got[:, 0], want[:, 0])
+    # body output (o=1) = exact product of q rounded to its top 3 bytes
+    # (mod-2^32 wrap semantics, matching poly.round_to_limbs)
+    q_u = np.asarray(q).astype(np.uint32)
+    q_body = ((q_u[:, 1] + 128) & np.uint32(0xFFFFFF00)).astype(np.int32)
+    q2 = np.stack([np.asarray(q)[:, 0], q_body], axis=1)
+    want_body = np.asarray(poly.negacyclic_extproduct_reference(digits, jnp.asarray(q2)))
+    np.testing.assert_array_equal(got[:, 1], want_body[:, 1])
+
+
 def test_amat_backend_matches_toeplitz():
     """The A-matrix slice-assembled external product equals the Toeplitz one."""
     rng = np.random.default_rng(10)
