@@ -1,0 +1,184 @@
+"""Checkpoint/resume engine for long 1:N identification sweeps.
+
+SURVEY.md section 5 (failure detection / checkpoint-resume rows): the
+reference has no persistence at all -- a crash in its (hour-scale) protocol
+run loses everything (/root/reference/src/main.cpp:513-586 runs in one
+process with no IO).  A 1:N sweep over 10k enrolled templates
+(BASELINE.json config 3) is ~2.2e9 gate bootstraps; at any realistic
+throughput that is minutes-to-hours of TPU time, so the sweep must survive
+preemption.
+
+Design: the template database is split into fixed-size chunks; each chunk is
+one batched `Server.identify` launch whose encrypted decision words are
+written to `<dir>/chunk_<i>.npz` (io.serial format) together with a
+`manifest.json` recording the sweep configuration and a content fingerprint
+of the inputs.  `run()` skips chunks whose output file already exists and
+matches the manifest, so re-running after a crash resumes exactly where it
+stopped.  `collect()` reassembles the (N, 3*bitsize) decision tensor.
+
+Writes are atomic (tmp file + rename) so a kill mid-write never leaves a
+truncated chunk that resume would trust.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from . import lwe
+from .io import serial
+from .utils.logging import NULL_LOG, EventLog
+
+MANIFEST = "manifest.json"
+
+
+@dataclasses.dataclass(frozen=True)
+class SweepPlan:
+    n_templates: int
+    chunk: int
+    fingerprint: str
+
+    @property
+    def n_chunks(self) -> int:
+        return -(-self.n_templates // self.chunk)
+
+    def chunk_range(self, i: int) -> "tuple[int, int]":
+        lo = i * self.chunk
+        return lo, min(lo + self.chunk, self.n_templates)
+
+
+def _fingerprint(probe_ct: lwe.Lwe, enc_bound: lwe.Lwe, n_templates: int,
+                 chunk: int) -> str:
+    """Content hash binding a checkpoint dir to one (probe, bound, shape) sweep.
+
+    Hashes the probe/bound ciphertexts (small: one probe, one bound) plus the
+    sweep geometry -- NOT the 10k-template tensor, which would cost a full
+    device->host pull per resume; templates are bound via n_templates and the
+    caller keeping one database per sweep directory.
+    """
+    h = hashlib.sha256()
+    for arr in (probe_ct.a, probe_ct.b, enc_bound.a, enc_bound.b):
+        h.update(np.ascontiguousarray(np.asarray(arr)).tobytes())
+    h.update(json.dumps({"n": n_templates, "chunk": chunk}).encode())
+    return h.hexdigest()[:16]
+
+
+def _chunk_path(out_dir: str, i: int) -> str:
+    return os.path.join(out_dir, f"chunk_{i:06d}.npz")
+
+
+def _atomic_save(path: str, ct: lwe.Lwe, meta: dict) -> None:
+    tmp = path + ".tmp.npz"
+    serial.save_ciphertext(tmp, ct, meta)
+    # np.savez appends .npz only when missing; tmp already ends with it.
+    os.replace(tmp, path)
+
+
+class IdentifySweep:
+    """Chunked, checkpointed 1:N identification (one probe vs N templates).
+
+    Args:
+      server: protocol.Server (cloud key only).
+      out_dir: checkpoint directory; created if missing.
+      chunk: templates per launch.  Larger chunks = better batching on chip,
+        smaller chunks = finer-grained resume.
+      log: EventLog for structured progress events.
+    """
+
+    def __init__(self, server, out_dir: str, chunk: int = 256,
+                 log: EventLog = NULL_LOG):
+        self.server = server
+        self.out_dir = out_dir
+        self.chunk = chunk
+        self.log = log
+        os.makedirs(out_dir, exist_ok=True)
+
+    # -- manifest ---------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.out_dir, MANIFEST)
+
+    def _load_manifest(self) -> Optional[dict]:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_manifest(self, plan: SweepPlan) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(dataclasses.asdict(plan), f)
+        os.replace(tmp, self._manifest_path())
+
+    # -- main entry points --------------------------------------------------
+    def run(self, probe_ct: lwe.Lwe, templates_ct: lwe.Lwe, enc_bound: lwe.Lwe,
+            resume: bool = True) -> SweepPlan:
+        """Sweep all templates, checkpointing each chunk; returns the plan.
+
+        templates_ct: (N, nslots, bitsize) encrypted template database.
+        On resume, chunks already on disk (from a matching manifest) are
+        skipped without touching the device.
+        """
+        n_templates = templates_ct.shape[0]
+        plan = SweepPlan(n_templates=n_templates, chunk=self.chunk,
+                         fingerprint=_fingerprint(probe_ct, enc_bound,
+                                                  n_templates, self.chunk))
+        prev = self._load_manifest()
+        if prev is not None and prev != dataclasses.asdict(plan):
+            if resume:
+                raise ValueError(
+                    f"checkpoint dir {self.out_dir} holds a different sweep "
+                    f"({prev} != {dataclasses.asdict(plan)}); pass resume=False "
+                    "to overwrite or use a fresh directory")
+            for i in range(prev.get("n_templates", 0) // max(prev.get("chunk", 1), 1) + 1):
+                p = _chunk_path(self.out_dir, i)
+                if os.path.exists(p):
+                    os.remove(p)
+        self._write_manifest(plan)
+
+        done = skipped = 0
+        for i in range(plan.n_chunks):
+            path = _chunk_path(self.out_dir, i)
+            if resume and os.path.exists(path):
+                skipped += 1
+                continue
+            lo, hi = plan.chunk_range(i)
+            with self.log.timer("sweep_chunk", chunk=i, lo=lo, hi=hi):
+                out = self.server.identify(
+                    probe_ct, templates_ct[lo:hi], enc_bound)
+                out = jax.block_until_ready(out)
+                _atomic_save(path, out, {"chunk": i, "lo": lo, "hi": hi,
+                                         "fingerprint": plan.fingerprint})
+            done += 1
+        self.log.log("sweep_done", n_chunks=plan.n_chunks, computed=done,
+                     resumed_from=skipped)
+        return plan
+
+    def completed_chunks(self) -> "list[int]":
+        m = self._load_manifest()
+        if m is None:
+            return []
+        plan = SweepPlan(**m)
+        return [i for i in range(plan.n_chunks)
+                if os.path.exists(_chunk_path(self.out_dir, i))]
+
+    def collect(self) -> lwe.Lwe:
+        """Concatenate all chunk outputs into (N, 3*bitsize) decision words."""
+        m = self._load_manifest()
+        if m is None:
+            raise FileNotFoundError(f"no manifest in {self.out_dir}")
+        plan = SweepPlan(**m)
+        parts_a, parts_b = [], []
+        for i in range(plan.n_chunks):
+            ct, meta = serial.load_ciphertext(_chunk_path(self.out_dir, i))
+            if meta.get("fingerprint") != plan.fingerprint:
+                raise ValueError(f"chunk {i} belongs to a different sweep")
+            parts_a.append(np.asarray(ct.a))
+            parts_b.append(np.asarray(ct.b))
+        return lwe.Lwe(np.concatenate(parts_a), np.concatenate(parts_b))
