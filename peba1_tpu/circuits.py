@@ -188,11 +188,12 @@ def compare_bit(be, a, b, lsb_carry):
     return be.MUX(eq, lsb_carry, a)
 
 
-def minimum(be, a, b, nbits: int | None = None):
-    """Returns (min(a,b), bit_word) where bit = 1 iff a > b, zero-extended.
+def compare_gt(be, a, b, nbits: int | None = None):
+    """Bare compare bit r = [a > b] (0 on equality).
 
-    Polarity: the reference's in-code comment claims the opposite; the code
-    is the truth (SURVEY.md section 3.2 discrepancy #2).
+    The reference's compare_bit recurrence r <- (a_i == b_i) ? r : a_i
+    scanned LSB-first (src/Math.cpp:259-262,271-273): the final r is a's bit
+    at the highest differing position.
     """
     if nbits is None:
         nbits = word_bits(a)
@@ -203,11 +204,57 @@ def minimum(be, a, b, nbits: int | None = None):
     eq = be.XNOR(a[..., :nbits], b[..., :nbits])
     for i in range(nbits):
         r = be.MUX(eq[..., i], r, a[..., i])
+    return r
+
+
+def minimum(be, a, b, nbits: int | None = None):
+    """Returns (min(a,b), bit_word) where bit = 1 iff a > b, zero-extended.
+
+    Polarity: the reference's in-code comment claims the opposite; the code
+    is the truth (SURVEY.md section 3.2 discrepancy #2).
+    """
+    if nbits is None:
+        nbits = word_bits(a)
+    shape = jnp.broadcast_shapes(a[..., 0].shape, b[..., 0].shape)
+    r = compare_gt(be, a, b, nbits)
     r_w = be.stack([r] * nbits, axis=-1)
     mn = be.MUX(r_w, b[..., :nbits], a[..., :nbits])  # one batched MUX launch
     zeros = be.CONSTANT(0, shape + (nbits - 1,))
     bit_word = be.concat([be.stack([r], axis=-1), zeros], axis=-1)
     return mn, bit_word
+
+
+def argmin_tree(be, vals, idxs, nbits: int | None = None):
+    """Encrypted tournament argmin along axis 0 (1:N identification core).
+
+    Lifts the reference's compare/minimum building block
+    (src/Math.cpp:259-286) to an index-carrying log-depth reduction -- the
+    "bootstrapped argmin" of BASELINE.json config 3 (the reference itself
+    only ever compares one distance against a bound).
+
+    vals: (M, ..., W) bit-words; idxs: (M, ..., I) bit-words.
+    Returns (min_val (..., nbits), min_idx (..., I)).  Ties pick the LOWER
+    index: the compare bit is 0 on equality, selecting the left (earlier)
+    element, and each round pairs neighbors in order.
+    """
+    if nbits is None:
+        nbits = word_bits(vals)
+    ibits = word_bits(idxs)
+    vals = vals[..., :nbits]
+    m = vals.shape[0]
+    while m > 1:
+        half = m // 2
+        a_v, b_v = vals[0:2 * half:2], vals[1:2 * half:2]
+        a_i, b_i = idxs[0:2 * half:2], idxs[1:2 * half:2]
+        r = compare_gt(be, a_v, b_v, nbits)           # (half, ...) = [a > b]
+        new_v = be.MUX(be.stack([r] * nbits, axis=-1), b_v, a_v)
+        new_i = be.MUX(be.stack([r] * ibits, axis=-1), b_i, a_i)
+        if m % 2:  # odd element gets a bye into the next round
+            new_v = be.concat([new_v, vals[2 * half:]], axis=0)
+            new_i = be.concat([new_i, idxs[2 * half:]], axis=0)
+        vals, idxs = new_v, new_i
+        m = half + (m % 2)
+    return vals[0], idxs[0]
 
 
 # --------------------------------------------------------------------------

@@ -191,6 +191,31 @@ class Server:
         )
         return self.function_f(probe_b, templates_ct, bound_b)
 
+    def identify_argmin(self, probe_ct: lwe.Lwe,
+                        templates_ct: lwe.Lwe) -> "tuple[lwe.Lwe, lwe.Lwe]":
+        """1:N identification via encrypted tournament argmin (config 3).
+
+        Computes ED(probe, t_i) for all N templates as ONE batched circuit,
+        then reduces with a log2(N)-round bootstrapped tournament
+        (circuits.argmin_tree) carrying trivially-encrypted index words.
+
+        Returns (enc_min_dist (max_bitsize,), enc_idx (ibits,)): the
+        encrypted smallest distance and the encrypted database index that
+        achieved it (ties -> lowest index).  The server learns neither.
+        """
+        n_templates = templates_ct.shape[0]
+        probe_b = lwe.Lwe(
+            jnp.broadcast_to(probe_ct.a, (n_templates,) + probe_ct.a.shape[-3:]),
+            jnp.broadcast_to(probe_ct.b, (n_templates,) + probe_ct.b.shape[-2:]),
+        )
+        be = self.be
+        dists = cc.euclidean(be, probe_b, templates_ct, self.proto.bitsize,
+                             self.proto.max_bitsize)
+        ibits = max(1, (n_templates - 1).bit_length())
+        idx_words = cc.const_word(be, np.arange(n_templates), ibits,
+                                  (n_templates,))
+        return cc.argmin_tree(be, dists, idx_words)
+
 
 def make_system(key: jax.Array, params: TfheParams, client_id: int = 7,
                 proto: ProtocolParams = PEBA1_PROTOCOL):
