@@ -288,10 +288,22 @@ def tree_sum(be, words, width: int):
 # (documented overflow for distances >= 2^bitsize)
 # --------------------------------------------------------------------------
 
+def _check_slots(a, b, op: str) -> None:
+    """Real error where the reference perror()s and carries on
+    (src/Math.cpp:295-300,334-339 print 'size mismatch' without aborting)."""
+    if a.shape[-2] != b.shape[-2]:
+        raise ValueError(
+            f"{op}: slot-count mismatch {a.shape[-2]} vs {b.shape[-2]}")
+    if a.shape[-1] != b.shape[-1]:
+        raise ValueError(
+            f"{op}: bit-width mismatch {a.shape[-1]} vs {b.shape[-1]}")
+
+
 def manhattan(be, a, b, bitsize: int | None = None):
     """a, b: (..., nslots, bitsize) -> (..., bitsize+1); top bit constant 0."""
     if bitsize is None:
         bitsize = word_bits(a)
+    _check_slots(a, b, "manhattan")
     diffs = sub_abs(be, b, a, bitsize)  # (..., nslots, bitsize+1), all slots at once
     total = tree_sum(be, diffs, width=bitsize)  # only low `bitsize` bits accumulate
     return total
@@ -310,6 +322,7 @@ def euclidean(be, a, b, bitsize: int | None = None, max_bitsize: int = 24):
     """
     if bitsize is None:
         bitsize = word_bits(a)
+    _check_slots(a, b, "euclidean")
     diffs = sub_abs(be, b, a, bitsize)               # (..., nslots, bitsize+1)
     squares = multiply(be, diffs[..., :bitsize], diffs[..., :bitsize],
                        bitsize, length=max_bitsize - 1)
@@ -331,6 +344,11 @@ def function_f(be, probe, template, bound, bitsize: int | None = None):
     """
     if bitsize is None:
         bitsize = word_bits(probe)
+    if word_bits(bound) != 3 * bitsize:
+        raise ValueError(
+            f"function_f: bound must be {3 * bitsize} bits wide "
+            f"(got {word_bits(bound)}); the reference compares on "
+            "3*bitsize bits (src/Math.cpp:381-384)")
     ed = euclidean(be, template, probe, bitsize, max_bitsize=3 * bitsize)
     _, bit_word = minimum(be, ed, bound, 3 * bitsize)
     return bit_word

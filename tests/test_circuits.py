@@ -199,3 +199,25 @@ def test_sub_abs_zero_quirk(be):
     a = np.asarray([3, 100])
     out = cc.sub_abs(be, to_bits(a, 8), to_bits(np.zeros(2, int), 8), 8)
     np.testing.assert_array_equal(from_bits(out), 256 - a)
+
+
+def test_shape_validation_real_errors():
+    """SURVEY.md section 5 failure-detection row: the reference perror()s on
+    size mismatches without aborting (src/Math.cpp:295-300,334-339); here
+    they are real exceptions."""
+    import pytest as _pytest
+
+    from peba1_tpu import circuits as _cc
+    from peba1_tpu.backends import ClearBackend as _CB
+
+    be = _CB()
+    a = _cc.const_word(be, np.asarray([1, 2]), 3, (2,))      # 2 slots x 3 bits
+    b3 = _cc.const_word(be, np.asarray([1, 2, 3]), 3, (3,))  # 3 slots
+    with _pytest.raises(ValueError, match="slot-count mismatch"):
+        _cc.manhattan(be, a, b3)
+    b_w = _cc.const_word(be, np.asarray([1, 2]), 4, (2,))    # wrong width
+    with _pytest.raises(ValueError, match="bit-width mismatch"):
+        _cc.euclidean(be, a, b_w)
+    bound = _cc.const_word(be, 4, 5)                          # must be 9 bits
+    with _pytest.raises(ValueError, match="bound must be"):
+        _cc.function_f(be, a, a, bound, 3)
