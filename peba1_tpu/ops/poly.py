@@ -289,6 +289,25 @@ def prepare_amat(vv_limbs: jax.Array, block: int = 128) -> jax.Array:
     return A
 
 
+def prepare_amat_fused(vv_limbs: jax.Array, fine: int = 64) -> jax.Array:
+    """A-matrix layout for the fused Pallas blind rotation (pallas_kernels
+    .fused_blind_rotate_amat): (n, G, C, 2N) doubled limb generator ->
+    (n, C, G*K, span_pad) int8, K = fine.
+
+    The per-(step, limb-column c, coarse-shift u) MXU weight tile is the
+    direct contiguous slice A[s, c, :, off_u : off_u + N] with
+    off_u = (U-1-u)*K -- rows ordered g*K + kappa to match the digit LHS
+    d[:, :, u*K:(u+1)*K].reshape(bt, G*K).  span is zero-padded to a
+    multiple of 128 so the int8 (32, 128) VMEM tiling is exact (the padded
+    tail is never sliced).
+    """
+    A = prepare_amat(vv_limbs, block=fine)        # (n, G, K, C, span)
+    n, G, K, C, span = A.shape
+    A = jnp.moveaxis(A, 3, 1).reshape(n, C, G * K, span)
+    pad = (-span) % 128
+    return jnp.pad(A, ((0, 0), (0, 0), (0, 0), (0, pad)))
+
+
 def extprod_amat_i8(digits: jax.Array, A_i: jax.Array, limbs, N: int) -> jax.Array:
     """External product via the precomputed A-matrix: slice-assemble W, one dot.
 
