@@ -6,7 +6,7 @@ decryption correctness of the chained output, and prints ONE JSON line:
 
   {"metric": "gate_bootstraps_per_s_per_chip", "value": ..., ...}
 
-Relay-honest timing (see scripts/tpu_honest.py): the axon relay caches
+Relay-honest timing (see scripts/diag.py relay): the axon relay caches
 execution results per (executable, inputs), so every timed run uses FRESHLY
 encrypted inputs, and the reported rate is the two-chain-length delta
 (t(S2) - t(S1)) / (S2 - S1), which cancels dispatch/fetch overhead.
@@ -39,7 +39,9 @@ from peba1_tpu.params import PRESETS
 B = int(os.environ.get("PEBA1_BENCH_BATCH", "8192"))
 S1 = int(os.environ.get("PEBA1_BENCH_S1", "1"))
 S2 = int(os.environ.get("PEBA1_BENCH_S2", "5"))
+REPS = int(os.environ.get("PEBA1_BENCH_REPS", "2"))
 PARAMS = os.environ.get("PEBA1_BENCH_PARAMS", "peba1_128_fast")
+assert S2 > S1 >= 1, f"need S2 > S1 >= 1, got S1={S1} S2={S2}"
 
 
 @functools.partial(jax.jit, static_argnames=("steps",))
@@ -73,19 +75,28 @@ def main():
         np.asarray(out[1][:4])
 
     # Timed runs: FRESH inputs each, block_until_ready (verified blocking on
-    # this relay by scripts/tpu_honest.py; the delta also cancels any
-    # constant non-blocking bias).
+    # this relay by scripts/diag.py relay; the delta also cancels any
+    # constant non-blocking bias).  Per chain length take the MIN over REPS
+    # repetitions so one relay-jitter spike cannot make the delta tiny or
+    # negative (ADVICE r1).
     ts = {}
     outs = {}
     for s in (S1, S2):
-        ct = gates.encrypt_bits(jax.random.PRNGKey(seed), sk, bits)
-        seed += 1
-        np.asarray(ct.b[:4])  # inputs resident before the clock starts
-        t0 = time.time()
-        out = _chain(ck, ct.a, ct.b, steps=s)
-        jax.block_until_ready(out)
-        ts[s] = time.time() - t0
-        outs[s] = out
+        best = float("inf")
+        for _ in range(REPS):
+            ct = gates.encrypt_bits(jax.random.PRNGKey(seed), sk, bits)
+            seed += 1
+            np.asarray(ct.b[:4])  # inputs resident before the clock starts
+            t0 = time.time()
+            out = _chain(ck, ct.a, ct.b, steps=s)
+            jax.block_until_ready(out)
+            best = min(best, time.time() - t0)
+            outs[s] = out
+        ts[s] = best
+    if not ts[S2] > ts[S1]:
+        raise RuntimeError(
+            f"relay timing implausible: t(S2={S2})={ts[S2]:.3f}s <= "
+            f"t(S1={S1})={ts[S1]:.3f}s; rerun (see scripts/diag.py relay)")
     dt = (ts[S2] - ts[S1]) / (S2 - S1)
     value = B / dt
 

@@ -72,7 +72,9 @@ def load_cloud_key(path: str) -> CloudKey:
     z = np.load(path)
     params = _params_from_json(bytes(z["__params__"]).decode())
     bk_tp = jnp.asarray(z["bk_tp"])
-    bk_amat = poly.prepare_amat(bk_tp) if params.ext_backend == "amat" else None
+    need_amat = params.ext_backend == "amat" or params.use_fused_cmux
+    bk_amat = (poly.prepare_amat(bk_tp, block=params.amat_block)
+               if need_amat else None)
     return CloudKey(bk=jnp.asarray(z["bk"]), bk_conv=jnp.asarray(z["bk_conv"]),
                     bk_tp=bk_tp, bk_amat=bk_amat,
                     ks_table_limbs=jnp.asarray(z["ks_table_limbs"]), params=params)
@@ -92,3 +94,10 @@ def load_ciphertext(path: str) -> "tuple[lwe.Lwe, dict]":
     z = np.load(path)
     meta = json.loads(bytes(z["__meta__"]).decode())
     return lwe.Lwe(jnp.asarray(z["a"]), jnp.asarray(z["b"])), meta
+
+
+def load_ciphertext_meta(path: str) -> dict:
+    """Read only the metadata record of a ciphertext archive (npz members are
+    decompressed lazily, so this never touches the tensor payload)."""
+    z = np.load(path)
+    return json.loads(bytes(z["__meta__"]).decode())

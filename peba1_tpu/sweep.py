@@ -54,19 +54,29 @@ class SweepPlan:
 
 
 def _fingerprint(probe_ct: lwe.Lwe, enc_bound: lwe.Lwe, n_templates: int,
-                 chunk: int) -> str:
-    """Content hash binding a checkpoint dir to one (probe, bound, shape) sweep.
+                 chunk: int, database_id: str) -> str:
+    """Content hash binding a checkpoint dir to one (probe, bound, db) sweep.
 
-    Hashes the probe/bound ciphertexts (small: one probe, one bound) plus the
-    sweep geometry -- NOT the 10k-template tensor, which would cost a full
-    device->host pull per resume; templates are bound via n_templates and the
-    caller keeping one database per sweep directory.
+    Hashes the probe/bound ciphertexts (small: one probe, one bound), the
+    sweep geometry, and a template-database identity string (either caller
+    supplied or derived by `_database_id` from the template bodies), so
+    resuming in the same directory with a *different* database of the same
+    shape is detected instead of silently reusing stale chunks.
     """
     h = hashlib.sha256()
     for arr in (probe_ct.a, probe_ct.b, enc_bound.a, enc_bound.b):
         h.update(np.ascontiguousarray(np.asarray(arr)).tobytes())
-    h.update(json.dumps({"n": n_templates, "chunk": chunk}).encode())
+    h.update(json.dumps({"n": n_templates, "chunk": chunk,
+                         "db": database_id}).encode())
     return h.hexdigest()[:16]
+
+
+def _database_id(templates_ct: lwe.Lwe) -> str:
+    """Cheap content identity of the template database: hash of the LWE
+    BODIES only (one (N, nslots, bitsize) int32 host pull -- ~40 MB at
+    N=10k, a one-off per run; the (..., n)-sized masks stay on device)."""
+    b = np.ascontiguousarray(np.asarray(templates_ct.b))
+    return hashlib.sha256(b.tobytes()).hexdigest()[:16]
 
 
 def _chunk_path(out_dir: str, i: int) -> str:
@@ -118,17 +128,24 @@ class IdentifySweep:
 
     # -- main entry points --------------------------------------------------
     def run(self, probe_ct: lwe.Lwe, templates_ct: lwe.Lwe, enc_bound: lwe.Lwe,
-            resume: bool = True) -> SweepPlan:
+            resume: bool = True, database_id: Optional[str] = None) -> SweepPlan:
         """Sweep all templates, checkpointing each chunk; returns the plan.
 
         templates_ct: (N, nslots, bitsize) encrypted template database.
-        On resume, chunks already on disk (from a matching manifest) are
-        skipped without touching the device.
+        database_id: optional caller-supplied version string identifying the
+        template database; when None, a content hash of the template bodies
+        is used (one host pull).  Either way the database is bound into the
+        checkpoint fingerprint.  On resume, chunks already on disk (matching
+        manifest AND per-chunk fingerprint) are skipped without touching the
+        device.
         """
         n_templates = templates_ct.shape[0]
+        if database_id is None:
+            database_id = _database_id(templates_ct)
         plan = SweepPlan(n_templates=n_templates, chunk=self.chunk,
                          fingerprint=_fingerprint(probe_ct, enc_bound,
-                                                  n_templates, self.chunk))
+                                                  n_templates, self.chunk,
+                                                  database_id))
         prev = self._load_manifest()
         if prev is not None and prev != dataclasses.asdict(plan):
             if resume:
@@ -146,8 +163,17 @@ class IdentifySweep:
         for i in range(plan.n_chunks):
             path = _chunk_path(self.out_dir, i)
             if resume and os.path.exists(path):
-                skipped += 1
-                continue
+                # Trust-but-verify: a stale/foreign chunk in a dir whose
+                # manifest was lost must be recomputed now, not discovered
+                # later in collect().
+                try:
+                    meta = serial.load_ciphertext_meta(path)
+                except Exception:
+                    meta = {}
+                if meta.get("fingerprint") == plan.fingerprint:
+                    skipped += 1
+                    continue
+                os.remove(path)
             lo, hi = plan.chunk_range(i)
             with self.log.timer("sweep_chunk", chunk=i, lo=lo, hi=hi):
                 out = self.server.identify(

@@ -26,13 +26,16 @@ class EventLog:
                  context: Optional[dict] = None):
         self._stream = stream
         self._file = open(path, "a") if path else None
+        self._owns_file = self._file is not None
         self._context = dict(context or {})
         self.counters: dict[str, float] = {}
 
     def close(self) -> None:
-        if self._file is not None:
+        # Children share the parent's handle but do not own it: closing a
+        # child must not kill the parent's sink (or vice versa).
+        if self._file is not None and self._owns_file:
             self._file.close()
-            self._file = None
+        self._file = None
 
     def log(self, event: str, **fields) -> dict:
         rec = {"ts": round(time.time(), 6), "event": event, **self._context, **fields}
@@ -59,12 +62,16 @@ class EventLog:
             yield extra
         finally:
             dt = time.perf_counter() - t0
-            self.log(event, seconds=round(dt, 6), **fields, **extra)
+            # Dict-merge (extra wins) instead of **fields, **extra: a block
+            # writing a key that collides with a timer kwarg must not raise
+            # TypeError inside finally and mask the original exception.
+            self.log(event, **{"seconds": round(dt, 6), **fields, **extra})
 
     def child(self, **context) -> "EventLog":
-        """Same sinks, extra bound context fields."""
+        """Same sinks, extra bound context fields (handle stays parent-owned)."""
         c = EventLog(stream=self._stream, context={**self._context, **context})
         c._file = self._file
+        c._owns_file = False
         return c
 
 
