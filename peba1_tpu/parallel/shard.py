@@ -7,8 +7,12 @@ Design (SURVEY.md section 2.4 mapping table):
   * the keyswitch one-hot matmul tensor-parallelizes over tp: the KS table's
     output columns (the n+1 LWE coefficients x limbs) split across tp ranks,
     each computing a partial-width slice, joined with all_gather over ICI;
-  * 1:N identification shards the template database over dp and reduces
-    encrypted verdict words with collectives at the protocol layer.
+  * 1:N identification (`sharded_identify` / `sharded_identify_argmin`,
+    BASELINE.json configs 3/5) shards the template database over dp: each
+    shard runs the full encrypted-distance + threshold circuit on its
+    templates; the argmin variant plays a local bootstrapped tournament per
+    shard, all_gathers the <=dp encrypted finalists over ICI, and finishes
+    the tournament replicated.
 
 Single-device equivalence is exact (integer arithmetic, no reduction-order
 effects), which the virtual-mesh tests assert.
@@ -20,6 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import lwe
@@ -73,3 +78,143 @@ def sharded_bootstrap(mesh: Mesh, ck: CloudKey, ct: lwe.Lwe, mu) -> lwe.Lwe:
     )
     a, b = fn(ct.a, ct.b, ck.bk_conv, ks_sharded)
     return lwe.Lwe(a, b)
+
+
+def sharded_identify(mesh: Mesh, ck: CloudKey, probe_ct: lwe.Lwe,
+                     templates_ct: lwe.Lwe, enc_bound: lwe.Lwe,
+                     bitsize: int) -> lwe.Lwe:
+    """1:N identification with the template database sharded over dp.
+
+    templates_ct: (N, nslots, bitsize) encrypted database, probe/bound
+    replicated.  Each dp rank runs the full Function_f circuit (encrypted
+    Euclidean distance + threshold compare) on its N/dp templates -- every
+    bootstrap launch on every device carries only local work; no cross-device
+    traffic until the caller collects the (N, 3*bitsize) verdict words
+    (returned dp-sharded on the leading axis).
+
+    Exactly equal to protocol.Server.identify on one device (integer
+    arithmetic, per-template independence).  BASELINE.json config 5's
+    single-process form; multi-host runs build the mesh via
+    parallel.mesh.make_mesh after jax.distributed.initialize.
+    """
+    from .. import circuits as cc
+    from ..backends import CipherBackend
+
+    n_templates = templates_ct.shape[0]
+    dp = mesh.shape["dp"]
+    if n_templates % dp != 0:
+        raise ValueError(f"n_templates={n_templates} not divisible by dp={dp}")
+
+    def local_fn(ck_, t_a, t_b, p_a, p_b, bd_a, bd_b):
+        be = CipherBackend(ck_)
+        m = t_a.shape[0]
+        probe_b = lwe.Lwe(jnp.broadcast_to(p_a, (m,) + p_a.shape),
+                          jnp.broadcast_to(p_b, (m,) + p_b.shape))
+        bound_b = lwe.Lwe(jnp.broadcast_to(bd_a, (m,) + bd_a.shape),
+                          jnp.broadcast_to(bd_b, (m,) + bd_b.shape))
+        out = cc.function_f(be, probe_b, lwe.Lwe(t_a, t_b), bound_b, bitsize)
+        return out.a, out.b
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P("dp"), P("dp"), P(), P(), P(), P()),
+        out_specs=(P("dp"), P("dp")),
+        check_vma=False,
+    )
+    a, b = fn(ck, templates_ct.a, templates_ct.b,
+              probe_ct.a, probe_ct.b, enc_bound.a, enc_bound.b)
+    return lwe.Lwe(a, b)
+
+
+def _argmin_local_then_global(be, vals: lwe.Lwe, idxs: lwe.Lwe):
+    """Per-shard bootstrapped tournament + ICI finalist gather + replicated
+    finish.  Runs INSIDE a shard_map body over the 'dp' axis.  For
+    power-of-two shard sizes the overall comparison tree is identical to the
+    single-device argmin_tree over the global axis."""
+    from .. import circuits as cc
+
+    v, i = cc.argmin_tree(be, vals, idxs)
+    ga = [jax.lax.all_gather(x, "dp", axis=0) for x in (v.a, v.b, i.a, i.b)]
+    return cc.argmin_tree(be, lwe.Lwe(ga[0], ga[1]), lwe.Lwe(ga[2], ga[3]))
+
+
+def sharded_argmin(mesh: Mesh, ck: CloudKey, vals_ct: lwe.Lwe,
+                   idxs_ct: lwe.Lwe) -> "tuple[lwe.Lwe, lwe.Lwe]":
+    """Encrypted tournament argmin over dp-sharded (M, W)/(M, I) word lists.
+
+    The cross-shard mechanism of `sharded_identify_argmin`, exposed for
+    pre-computed distance words (and for a cheap equality test: the full
+    identify pipeline in one shard_map program is minutes of XLA compile on
+    the virtual CPU mesh).  Returns replicated (min_val, min_idx).
+    """
+    from ..backends import CipherBackend
+
+    def local_fn(ck_, v_a, v_b, i_a, i_b):
+        be = CipherBackend(ck_)
+        fv, fi = _argmin_local_then_global(
+            be, lwe.Lwe(v_a, v_b), lwe.Lwe(i_a, i_b))
+        return fv.a, fv.b, fi.a, fi.b
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp")),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    va, vb, ia, ib = fn(ck, vals_ct.a, vals_ct.b, idxs_ct.a, idxs_ct.b)
+    return lwe.Lwe(va, vb), lwe.Lwe(ia, ib)
+
+
+def sharded_identify_argmin(mesh: Mesh, ck: CloudKey, probe_ct: lwe.Lwe,
+                            templates_ct: lwe.Lwe, bitsize: int,
+                            max_bitsize: int) -> "tuple[lwe.Lwe, lwe.Lwe]":
+    """Encrypted tournament argmin over a dp-sharded template database.
+
+    Per dp rank: batched encrypted Euclidean distances for the local N/dp
+    templates + a local log-depth bootstrapped tournament (circuits
+    .argmin_tree) carrying GLOBAL index words (pre-built host-side and
+    dp-sharded alongside the templates).  Cross-shard: the dp encrypted
+    finalists (one (max_bitsize,) distance word + one index word each, a few
+    KB) are all_gathered over ICI and the last log2(dp) tournament rounds run
+    replicated on every device.
+
+    For N = dp * 2^t (power-of-two shards) the overall comparison tree is
+    IDENTICAL to the single-device argmin_tree over N, so results -- including
+    tie-breaks (lowest index wins) -- are bit-equal, which
+    tests/test_parallel.py asserts on the virtual mesh.
+
+    Returns (enc_min_dist (max_bitsize,), enc_idx (ibits,)), replicated.
+    """
+    from .. import circuits as cc
+    from ..backends import CipherBackend
+
+    n_templates = templates_ct.shape[0]
+    dp = mesh.shape["dp"]
+    if n_templates % dp != 0:
+        raise ValueError(f"n_templates={n_templates} not divisible by dp={dp}")
+    ibits = max(1, (n_templates - 1).bit_length())
+    idx_words = cc.const_word(CipherBackend(ck), np.arange(n_templates),
+                              ibits, (n_templates,))
+
+    def local_fn(ck_, t_a, t_b, i_a, i_b, p_a, p_b):
+        be = CipherBackend(ck_)
+        m = t_a.shape[0]
+        probe_b = lwe.Lwe(jnp.broadcast_to(p_a, (m,) + p_a.shape),
+                          jnp.broadcast_to(p_b, (m,) + p_b.shape))
+        dists = cc.euclidean(be, probe_b, lwe.Lwe(t_a, t_b), bitsize,
+                             max_bitsize)
+        fv, fi = _argmin_local_then_global(be, dists, lwe.Lwe(i_a, i_b))
+        return fv.a, fv.b, fi.a, fi.b
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp"), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    va, vb, ia, ib = fn(ck, templates_ct.a, templates_ct.b,
+                        idx_words.a, idx_words.b, probe_ct.a, probe_ct.b)
+    return lwe.Lwe(va, vb), lwe.Lwe(ia, ib)

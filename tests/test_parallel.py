@@ -1,6 +1,8 @@
 """Sharded-vs-single-device equality on the 8-device virtual CPU mesh
 (SURVEY.md section 4's multi-host-without-a-pod strategy)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,3 +38,112 @@ def test_sharded_bootstrap_dp_only(toy_keys):
     want = bs.bootstrap(ck, ct, jnp.int32(gates.MU_1_8))
     got = pshard.sharded_bootstrap(m, ck, ct, jnp.int32(gates.MU_1_8))
     np.testing.assert_array_equal(np.asarray(got.b), np.asarray(want.b))
+
+
+def _enc_protocol_inputs(sk, n_templates=8, nslots=2, bitsize=3, seed=7):
+    """Tiny encrypted 1:N instance: (probe, templates, bound, plain values)."""
+    from peba1_tpu import circuits as cc
+    from peba1_tpu.utils.bits import int_to_bits
+
+    rng = np.random.default_rng(seed)
+    tmpl = rng.integers(0, 1 << bitsize, (n_templates, nslots))
+    probe = tmpl[n_templates // 2] ^ 1  # close to one template
+    k = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(k)
+    probe_ct = gates.encrypt_bits(k1, sk, int_to_bits(probe, bitsize))
+    tmpl_ct = gates.encrypt_bits(k2, sk, int_to_bits(tmpl, bitsize))
+    return probe_ct, tmpl_ct, tmpl, probe
+
+
+def test_sharded_argmin_equals_single(toy_keys):
+    """The cross-shard tournament mechanism (local argmin + finalist
+    all_gather + replicated finish) == single-device argmin_tree, including
+    the encrypted index words and tie-breaks (power-of-two shards give the
+    identical compare tree)."""
+    from peba1_tpu import circuits as cc
+    from peba1_tpu.backends import CipherBackend
+    from peba1_tpu.utils.bits import bits_to_int, int_to_bits
+
+    sk, ck = toy_keys
+    M, W = 8, 4
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 1 << W, M)
+    vals[3] = vals[6] = vals.min()  # force a tie: lowest index must win
+    vals_ct = gates.encrypt_bits(jax.random.PRNGKey(5), sk, int_to_bits(vals, W))
+    be = CipherBackend(ck)
+    idx_ct = cc.const_word(be, np.arange(M), 3, (M,))
+
+    want_v, want_i = cc.argmin_tree(be, vals_ct, idx_ct)
+    m = pmesh.make_mesh(n_dp=4, n_tp=2)
+    got_v, got_i = pshard.sharded_argmin(m, ck, vals_ct, idx_ct)
+    np.testing.assert_array_equal(np.asarray(got_v.a), np.asarray(want_v.a))
+    np.testing.assert_array_equal(np.asarray(got_v.b), np.asarray(want_v.b))
+    np.testing.assert_array_equal(np.asarray(got_i.a), np.asarray(want_i.a))
+    np.testing.assert_array_equal(np.asarray(got_i.b), np.asarray(want_i.b))
+    idx = bits_to_int(np.asarray(gates.decrypt_bits(got_i, sk)))
+    assert idx == int(np.argmin(vals))
+
+
+HEAVY = pytest.mark.skipif(
+    not os.environ.get("PEBA1_HEAVY_TESTS"),
+    reason="one-program shard_map of the full identify circuit takes ~10 min "
+           "of XLA CPU compile on the virtual mesh; run with "
+           "PEBA1_HEAVY_TESTS=1 (verified green 2026-08-20: sharded == "
+           "single bit-exact for identify AND identify_argmin)")
+
+
+@HEAVY
+def test_sharded_identify_equals_single(toy_keys):
+    """Template-DB-over-dp Function_f sweep == single-device identify."""
+    from peba1_tpu import protocol
+    from peba1_tpu.params import TOY
+    from peba1_tpu import circuits as cc
+    from peba1_tpu.backends import CipherBackend
+    from peba1_tpu.protocol import ProtocolParams
+
+    sk, ck = toy_keys
+    nslots, bitsize = 2, 3
+    probe_ct, tmpl_ct, _, _ = _enc_protocol_inputs(sk, 8, nslots, bitsize)
+    be = CipherBackend(ck)
+    enc_bound = cc.const_word(be, 5, 3 * bitsize)
+
+    proto = ProtocolParams(nslots=nslots, bitsize=bitsize,
+                           max_bitsize=3 * bitsize, bound_match=5)
+    server = protocol.Server(ck, proto)
+    want = server.identify(probe_ct, tmpl_ct, enc_bound)
+
+    m = pmesh.make_mesh(n_dp=4, n_tp=2)
+    got = pshard.sharded_identify(m, ck, probe_ct, tmpl_ct, enc_bound, bitsize)
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(want.a))
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(want.b))
+
+
+@HEAVY
+def test_sharded_identify_argmin_equals_single(toy_keys):
+    """dp-sharded tournament argmin == single-device argmin_tree, incl. the
+    encrypted index words (power-of-two shards => identical compare tree)."""
+    from peba1_tpu import circuits as cc
+    from peba1_tpu import protocol
+    from peba1_tpu.protocol import ProtocolParams
+
+    sk, ck = toy_keys
+    nslots, bitsize = 2, 3
+    probe_ct, tmpl_ct, tmpl, probe = _enc_protocol_inputs(sk, 8, nslots, bitsize)
+    proto = ProtocolParams(nslots=nslots, bitsize=bitsize,
+                           max_bitsize=3 * bitsize)
+    server = protocol.Server(ck, proto)
+    want_v, want_i = server.identify_argmin(probe_ct, tmpl_ct)
+
+    m = pmesh.make_mesh(n_dp=4, n_tp=2)
+    got_v, got_i = pshard.sharded_identify_argmin(
+        m, ck, probe_ct, tmpl_ct, bitsize, proto.max_bitsize)
+    np.testing.assert_array_equal(np.asarray(got_v.a), np.asarray(want_v.a))
+    np.testing.assert_array_equal(np.asarray(got_v.b), np.asarray(want_v.b))
+    np.testing.assert_array_equal(np.asarray(got_i.a), np.asarray(want_i.a))
+    np.testing.assert_array_equal(np.asarray(got_i.b), np.asarray(want_i.b))
+
+    # And the decrypted verdict is the true plaintext argmin.
+    from peba1_tpu.utils.bits import bits_to_int
+    idx = bits_to_int(np.asarray(gates.decrypt_bits(got_i, sk)))
+    d = ((tmpl - probe) ** 2).sum(axis=1)
+    assert idx == int(np.argmin(d))
