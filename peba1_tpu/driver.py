@@ -77,21 +77,25 @@ def run(params_name: str = "toy", nslots: int = 128, bitsize: int = 8,
         raise SystemExit("encryption round-trip failed")
 
     # --- plaintext suite (src/main.cpp:107-290) -------------------------
+    # The reference loops `loop`=128 times per op over fresh random values
+    # (src/main.cpp:102,124-127); here each op's 128 cases run as one batch.
     t64 = template.astype(np.uint64)
     s64 = sample_true.astype(np.uint64)
-    r1i = rng.integers(0, nslots, loop)
+    px = rng.integers(1, hi + 1, loop).astype(np.uint64)
+    py = rng.integers(1, hi + 1, loop).astype(np.uint64)
     checks = {
-        "add": (clear.add_nbit(t64[r1i], s64[r1i % nslots], 64) == t64[r1i] + s64[r1i % nslots]).mean(),
-        "twos_complement": (clear.twos_complement(s64, 64) == (-s64)).mean(),
-        "abs": (clear.abs_(s64, 64) == s64).mean(),
-        "sub": (clear.sub_nbit(t64, s64, 64) == np.abs(t64.astype(np.int64) - s64.astype(np.int64)).astype(np.uint64)).mean(),
-        "multiply": (clear.multiply(t64, s64, bitsize) == t64 * s64).mean(),
+        "add": (clear.add_nbit(px, py, 64) == px + py).mean(),
+        "twos_complement": (clear.twos_complement(px, 64) == (-px)).mean(),
+        "abs": (clear.abs_(px, 64) == px).mean(),
+        "sub": (clear.sub_nbit(px, py, 64) == np.abs(px.astype(np.int64) - py.astype(np.int64)).astype(np.uint64)).mean(),
+        "multiply": (clear.multiply(px, py, bitsize) == px * py).mean(),
         "manhattan": float(clear.manhattan_distance_bitwise(t64, s64, 64) == clear.manhattan_distance(template, sample_true)),
         "euclidean": float(clear.euclidean_distance_bitwise(t64, s64, 64) == clear.euclidean_distance(template, sample_true)),
     }
     results["plaintext_suite"] = {k: float(v) for k, v in checks.items()}
     all_ok = all(v == 1.0 for v in checks.values())
-    print(f"[plaintext suite] {'all pass' if all_ok else checks} ({tm.lap():.3f}s)")
+    print(f"[plaintext suite] {'all pass' if all_ok else checks} "
+          f"(loop={loop}, {tm.lap():.3f}s)")
 
     bound = int(proto.bound_match)
     f_clear = clear.function_f_clear(t64, s64, bound, 64)
@@ -100,24 +104,56 @@ def run(params_name: str = "toy", nslots: int = 128, bitsize: int = 8,
     print(f"[plaintext protocol] f={int(f_clear)} (ED={int(clear.euclidean_distance(template, sample_true))} vs bound={bound})")
 
     # --- ciphertext suite (src/main.cpp:296-465), batched ---------------
+    # Per-op parity with the reference suite: ADDNbit (:311),
+    # TwoSComplement (:344), ABS (:370), SUBNbit (:408), Multiply (:442),
+    # minimum (exercised via the comparator), HE Manhattan (:487) and
+    # HE Euclidean (:502) -- each op's `loop` random cases as ONE batch,
+    # decrypted and checked against the plaintext mirror, timed per phase.
     if not skip_cipher_suite:
         be = CipherBackend(ck)
-        m = min(loop, nslots)
-        ta = enc_template[:m]
-        fb = enc_false[:m]
-        s, _ = cc.add_n(be, ta, fb, bitsize)
-        add_ok = (bits_to_int(np.asarray(gates.decrypt_bits(s, sk)))
-                  == (template[:m] + sample_false[:m]) % (1 << bitsize)).mean()
-        print(f"[cipher] add: {add_ok*100:.1f}% ({tm.lap():.1f}s, {be.launches} launches)")
-        sub = cc.sub_abs(be, ta, fb, bitsize)
-        sub_ok = (bits_to_int(np.asarray(gates.decrypt_bits(sub, sk)))
-                  == np.abs(template[:m].astype(int) - sample_false[:m].astype(int))).mean()
-        print(f"[cipher] sub_abs: {sub_ok*100:.1f}% ({tm.lap():.1f}s)")
-        mul = cc.multiply(be, ta, fb, bitsize, length=proto.mul_width)
-        mul_ok = (bits_to_int(np.asarray(gates.decrypt_bits(mul, sk)))
-                  == (template[:m].astype(np.int64) * sample_false[:m]) % (1 << proto.mul_width)).mean()
-        print(f"[cipher] multiply: {mul_ok*100:.1f}% ({tm.lap():.1f}s)")
-        results["cipher_suite"] = {"add": float(add_ok), "sub": float(sub_ok), "mul": float(mul_ok)}
+        cx = rng.integers(1, hi + 1, loop)
+        cy = rng.integers(1, hi + 1, loop)
+        kc = jax.random.split(jax.random.fold_in(k_enc, 77), 2)
+        ex = client.encrypt_vector(kc[0], cx)
+        ey = client.encrypt_vector(kc[1], cy)
+        suite: dict = {}
+
+        def dec(ct):
+            return bits_to_int(np.asarray(gates.decrypt_bits(ct, sk)))
+
+        def record(name, got, want):
+            ok = (got == np.asarray(want, got.dtype)).mean()
+            dt = tm.lap()
+            suite[name] = {"correct": float(ok), "seconds": round(dt, 3)}
+            print(f"[cipher] {name}: {ok*100:.1f}% ({dt:.1f}s, "
+                  f"{be.launches} launches)")
+
+        mod = 1 << bitsize
+        s, _ = cc.add_n(be, ex, ey, bitsize)
+        record("add", dec(s), (cx + cy) % mod)
+        tc = cc.twos_complement(be, ex, bitsize)
+        record("twos_complement", dec(tc), (-cx) % mod)
+        ab = cc.abs_n(be, ex, bitsize)
+        record("abs", dec(ab), np.where(cx < mod // 2, cx, mod - cx))
+        sub = cc.sub_abs(be, ex, ey, bitsize)
+        record("sub_abs", dec(sub), np.abs(cx.astype(int) - cy.astype(int)))
+        mul = cc.multiply(be, ex, ey, bitsize, length=proto.mul_width)
+        record("multiply", dec(mul),
+               (cx.astype(np.int64) * cy) % (1 << proto.mul_width))
+        mn, gt = cc.minimum(be, ex, ey, bitsize)
+        mn_ok = dec(mn) == np.minimum(cx, cy)
+        gt_ok = dec(gt) == (cx > cy).astype(np.int64)
+        record("minimum", (mn_ok & gt_ok), True)
+        man = cc.manhattan(be, enc_true, enc_template, bitsize)
+        # bitsize-wide accumulator: faithful overflow quirk (src/Math.cpp:291)
+        record("he_manhattan", dec(man[..., :bitsize]),
+               int(clear.manhattan_distance(template, sample_true)) % mod)
+        euc = cc.euclidean(be, enc_true, enc_template, bitsize,
+                           max_bitsize=proto.max_bitsize)
+        record("he_euclidean", dec(euc),
+               int(clear.euclidean_distance(template, sample_true))
+               % (1 << (proto.max_bitsize - 1)))
+        results["cipher_suite"] = suite
 
     # --- encrypted protocol (src/main.cpp:513-586) ----------------------
     rec = client.enroll(jax.random.fold_in(k_enc, 9), template)
