@@ -45,8 +45,9 @@ class CloudKey:
     bk: jax.Array              # (n, (k+1)l, k+1, N) int32 -- TRGSW(s_i)
     bk_conv: jax.Array         # (n, C, (k+1)l, N) int8 conv RHS; C=sum(plan)
     bk_tp: jax.Array           # (n, (k+1)l, C, 2N) int8 Toeplitz generator
-    # (n, (k+1)l, K, C, span) int8 fine-shift stage, or None unless
-    # ext_backend == "amat" (it is large: ~7.4 GB at peba1_128/limbs=4)
+    # (n, C, (k+1)l, K, span) int8 fine-shift stage (ops/poly.prepare_amat),
+    # or None unless ext_backend == "amat" / use_fused_cmux (it is large:
+    # ~4.3 GB at peba1_128_fast, ~7.4 GB at peba1_128)
     bk_amat: jax.Array | None
     ks_table_limbs: jax.Array  # (kN*t, (n+1)*4) int8 digit-matmul table
     params: TfheParams = struct.field(pytree_node=False)
@@ -70,7 +71,8 @@ def make_cloud_key(k_bk: jax.Array, k_ks: jax.Array, sk: SecretKey) -> CloudKey:
     bk_conv = jax.vmap(lambda g: poly.prepare_conv_rhs(g, p.limb_plan))(bk)
     # Toeplitz-generator form (doubled, limb-split) for the matmul backend.
     bk_tp = jax.vmap(lambda g: poly.prepare_toeplitz_rhs(g, p.limb_plan))(bk)
-    bk_amat = poly.prepare_amat(bk_tp) if p.ext_backend == "amat" else None
+    need_amat = p.ext_backend == "amat" or p.use_fused_cmux
+    bk_amat = poly.prepare_amat(bk_tp, block=p.amat_block) if need_amat else None
 
     # --- Keyswitch key: ks[i][j] = LWE_s(K_i / base^(j+1)); the switched
     # sample accumulates digit-value * row (ops/bootstrap.keyswitch_digits).

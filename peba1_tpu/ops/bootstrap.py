@@ -48,6 +48,18 @@ def blind_rotate(ck: CloudKey, bara: jax.Array, barb: jax.Array, mu) -> jax.Arra
     """
     p = ck.params
     B = bara.shape[0]
+
+    if p.use_fused_cmux:
+        # Whole blind rotation (incl. acc init) as one Pallas kernel against
+        # the precomputed A-matrix key form.
+        from . import pallas_kernels as pk
+        interp = jax.devices()[0].platform != "tpu"
+        amt = jnp.concatenate(
+            [((2 * p.N - barb) % (2 * p.N))[:, None], bara], axis=1)
+        out = pk.fused_blind_rotate(amt, ck.bk_amat, jnp.int32(mu), p,
+                                    interpret=interp)
+        return out.reshape(B, p.k + 1, p.N)
+
     tv = jnp.full((B, p.N), jnp.int32(mu))
     acc = jnp.concatenate(
         [jnp.zeros((B, p.k, p.N), jnp.int32),
@@ -56,13 +68,6 @@ def blind_rotate(ck: CloudKey, bara: jax.Array, barb: jax.Array, mu) -> jax.Arra
     )
     backend = p.ext_backend
     bk_steps = {"toeplitz": ck.bk_tp, "conv": ck.bk_conv, "amat": ck.bk_amat}[backend]
-
-    if p.use_fused_cmux:
-        from . import pallas_kernels as pk
-        interp = jax.devices()[0].platform != "tpu"
-        out = pk.fused_blind_rotate(
-            acc.reshape(B, (p.k + 1) * p.N), bara, ck.bk_tp, p, interpret=interp)
-        return out.reshape(B, p.k + 1, p.N)
 
     if p.use_pallas_rotate:
         from . import pallas_kernels as pk

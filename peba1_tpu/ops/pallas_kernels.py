@@ -13,6 +13,7 @@ Grid: one program per batch tile; all compute is VPU elementwise on VMEM.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -69,123 +70,152 @@ def _decompose_block(diff: jax.Array, p: TfheParams) -> list:
     return outs
 
 
-def _fused_cmux_kernel(amt_ref, vv_ref, acc_in_ref, out_ref, d_ref, a_ref,
+def _fused_cmux_kernel(mu_ref, amt_ref, a_ref, out_ref, d_ref,
                        *, params: TfheParams, plan, fine: int):
     """One (batch-tile, step) grid cell of the fused blind rotation.
 
-    Per step: rotate+diff+decompose the VMEM-resident accumulator, build the
-    negacyclic-Toeplitz weight tiles from the step's doubled generator with
-    in-VMEM slice copies, run U int8 MXU dots per output column-poly, fold
-    the limb recombination into the epilogue, accumulate into out_ref.
+    Per cell: rotate+diff+decompose the VMEM-resident accumulator into the
+    digit scratch (at s == 0 first initializing acc = [0 | X^{-barb} * tv]
+    in-kernel from amt column 0), then loop the C limb columns statically:
+    U int8 MXU dots of the digit tile against the column's precomputed
+    fine-shift weights, shifted-accumulated straight into the resident
+    accumulator -- the limb recombination IS the matmul epilogue.  The
+    step's full A-matrix block (~7 MB) is streamed from HBM and
+    double-buffered by the Pallas pipeline under the previous cell's MXU
+    work; everything in the kernel body is static (column indices, output
+    slices, shifts), so Mosaic emits straight-line MXU/VPU code.
 
-    vv_ref: (1, G, C, 2N) int8 this step's doubled limb generator.
-    acc_in/out: (Bt, (k+1)*N) int32; out_ref doubles as the resident acc
-    (same block for every step of a batch tile -> stays in VMEM).
-    a_ref: (G, C, K, span) int8 scratch (fine-shift stage; K and span last
-    so the int8 (32, 128) tiling pads only the small G, C leading dims).
-    d_ref: (Bt, G*N) int8 scratch (digits).
+    mu_ref: (1, 1) SMEM testvector amplitude.
+    amt_ref: (Bt, n_pad) int32, column 0 = initial body rotation
+      (2N - barb) mod 2N, column s+1 = step-s mask rotation.
+    a_ref: (1, C, G, K, span) int8 this step's A-matrix block
+      (ops/poly.prepare_amat).
+    out_ref: (Bt, (k+1)*N) int32 resident accumulator (same block for all
+      steps of a batch tile).
+    d_ref: (Bt, U, G*K) int8 digit scratch, laid out so each coarse-shift u
+      contributes ONE aligned (Bt, G*K) MXU operand with no in-kernel
+      relayout.
     """
     p = params
     N, k1, l = p.N, p.k + 1, p.l
     G = k1 * l
     K = fine
     U = N // K
-    span = N + (U - 1) * K
-    base = N - (U - 1) * K
     s = pl.program_id(1)
+
+    def amt_col(j):
+        # Dynamic lane-dim slices are not Mosaic-legal (lane indices must be
+        # 128-aligned); select the column with an iota mask + lane reduction
+        # over the resident row block instead (cheap VPU pass).
+        blk = amt_ref[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 1)
+        return jnp.sum(jnp.where(lane == j, blk, 0), axis=1, keepdims=True)
 
     @pl.when(s == 0)
     def _():
-        out_ref[:] = acc_in_ref[:]
+        # acc init: zero mask polys, body = X^{-barb} * (all-mu testvector).
+        bt = out_ref.shape[0]
+        out_ref[:, : p.k * N] = jnp.zeros((bt, p.k * N), jnp.int32)
+        tv = jnp.full((bt, N), mu_ref[0, 0], jnp.int32)
+        out_ref[:, p.k * N:] = _rotate_block(tv, amt_col(0), N)
 
-    amt = amt_ref[:, pl.ds(s, 1)]  # (Bt, 1) -- this step's rotation amounts
-    # --- rotate + diff + decompose into d_ref ----------------------------
+    # --- rotate + diff + decompose the current accumulator into d_ref ----
+    amt = amt_col(s + 1)
     for u in range(k1):
         x = out_ref[:, u * N:(u + 1) * N]
         diff = _rotate_block(x, amt, N) - x
         for q, dq in enumerate(_decompose_block(diff, p)):
             g = u * l + q
-            d_ref[:, g * N:(g + 1) * N] = dq
+            for w in range(U):
+                d_ref[:, w, g * K:(g + 1) * K] = dq[:, w * K:(w + 1) * K]
 
-    # --- fine-shift stage: a_ref[g, c, kappa, j] = vv[g, c, base-kappa+j] -
-    for kappa in range(K):
-        a_ref[:, :, kappa, :] = vv_ref[0, :, :, base - kappa: base - kappa + span]
-
-    # --- U dots per column-poly c, limb-recombine into the accumulator ---
-    d = d_ref[:].reshape(-1, G, N)
-    c0 = 0
+    # --- C limb columns, U dots each, recombine into the accumulator.
+    # All of one output poly's limb columns group into a single fused
+    # shift-add expression so the accumulator is read-modified-written once
+    # per output, not once per limb column.
+    c = 0
     for o, nl in enumerate(plan):
         delta_o = None
         for m in range(nl):
-            c = c0 + m
-            shift = 8 * (4 - nl) + 8 * m
             out_c = None
             for u in range(U):
-                lhs = d[:, :, u * K:(u + 1) * K].reshape(-1, G * K)
+                lhs = d_ref[:, u, :]                       # (Bt, G*K) int8
                 off_u = (U - 1 - u) * K
-                rhs = a_ref[:, c, :, off_u: off_u + N].reshape(G * K, N)
+                rhs = a_ref[0, c, :, :, off_u: off_u + N].reshape(G * K, N)
                 acc = jax.lax.dot_general(
                     lhs, rhs, dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)
                 out_c = acc if out_c is None else out_c + acc
-            term = out_c << shift
+            term = out_c << (8 * (4 - nl) + 8 * m)
             delta_o = term if delta_o is None else delta_o + term
+            c += 1
         out_ref[:, o * N:(o + 1) * N] += delta_o
-        c0 += nl
 
 
-@functools.partial(jax.jit, static_argnames=("params", "block", "fine", "interpret"))
-def fused_blind_rotate(acc_flat: jax.Array, bara_t: jax.Array, vv_steps: jax.Array,
-                       params: TfheParams, block: int = 128, fine: int = 128,
+@functools.partial(jax.jit, static_argnames=("params", "block", "interpret"))
+def fused_blind_rotate(amt: jax.Array, amat: jax.Array, mu,
+                       params: TfheParams,
+                       block: int = int(os.environ.get("PEBA1_FUSED_BLOCK", 128)),
                        interpret: bool = False) -> jax.Array:
-    """Full blind rotation as ONE Pallas kernel.
+    """Full blind rotation as ONE Pallas kernel against the precomputed
+    A-matrix bootstrapping key (CloudKey.bk_amat, ops/poly.prepare_amat).
 
-    acc_flat: (B, (k+1)*N) int32 initial accumulator (testvector rotated by
-      the body phase); bara_t: (B, n) int32 per-step rotation amounts;
-    vv_steps: (n, G, C, 2N) int8 doubled limb generators (CloudKey.bk_tp).
+    amt: (B, n+1) int32 -- column 0 the initial body rotation
+      (2N - barb) mod 2N, columns 1..n the per-step mask rotations bara.
+    amat: (n, C, G, K, span) int8 fine-shift weights.
+    mu: scalar torus32 testvector amplitude.
     Returns the final accumulator (B, (k+1)*N) int32.
 
-    The accumulator block stays resident in VMEM across all n steps of a
-    batch tile (grid = (B/block, n), step-major inner): per step the only
-    HBM traffic is the G*C*2N generator block (~56 KB) -- no W
-    materialization, no digit round-trips, no accumulator round-trips.
+    Grid (B/block, n), batch-tile outer: the accumulator block is VMEM-
+    resident across all n steps of a tile; the only HBM traffic is the
+    pipeline-double-buffered per-step A-matrix stream (~7 MB/step,
+    overlapped under the MXU dots).  vs the unfused path this removes the
+    per-step accumulator/digit HBM round-trips AND the (B, C*N) int32
+    recombination materialization; vs in-kernel Toeplitz assembly (measured
+    2.1x slower than unfused on v5e) the weight build is done once at
+    keygen; vs a (tile, step, column) grid and vs hand-rolled per-column
+    DMA (measured 0.9x / 0.7x of unfused) the per-cell work is C*U static
+    dots with pipeline-managed streaming.  Needs ~2x 7 MB of VMEM for the
+    A stream on top of the resident accumulator, so the kernel requests a
+    raised vmem limit (v5e has 128 MB; Mosaic's default scoped limit is
+    16 MB).
     """
     p = params
     plan = p.limb_plan
-    B = acc_flat.shape[0]
-    n_steps, G, C, n2 = vv_steps.shape
+    B = amt.shape[0]
+    n_steps, C, G, K, span = amat.shape
     N = p.N
+    U = N // K
+    assert span == N + (U - 1) * K, (span, N, K)
+    assert C == sum(plan), (C, plan)
     bt = min(block, B)
     assert B % bt == 0, (B, bt)
-    K = min(fine, N)
-    U = N // K
-    span = N + (U - 1) * K
     grid = (B // bt, n_steps)
-    # The amt block must satisfy TPU tiling (last dim 128-divisible): keep
-    # the full padded (bt, n_pad) row-block resident and slice per step.
-    n_pad = -(-n_steps // 128) * 128
-    bara_t = jnp.pad(bara_t, ((0, 0), (0, n_pad - n_steps)))
-    kernel = functools.partial(
-        _fused_cmux_kernel, params=p, plan=plan, fine=K)
+    # amt rows padded so the lane dim satisfies int32 tiling.
+    n_pad = -(-(n_steps + 1) // 128) * 128
+    amt = jnp.pad(amt, ((0, 0), (0, n_pad - n_steps - 1)))
+    kernel = functools.partial(_fused_cmux_kernel, params=p, plan=plan, fine=K)
+    vmem_limit = int(os.environ.get("PEBA1_VMEM_LIMIT", 96 * 1024 * 1024))
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bt, n_pad), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, C, n2), lambda i, s: (s, 0, 0, 0),
+            pl.BlockSpec((1, 1), lambda i, s: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((bt, n_pad), lambda i, s: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, (p.k + 1) * N), lambda i, s: (i, 0),
+            pl.BlockSpec((1, C, G, K, span), lambda i, s: (s, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bt, (p.k + 1) * N), lambda i, s: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, (p.k + 1) * N), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((bt, G * N), jnp.int8),
-            pltpu.VMEM((G, C, K, span), jnp.int8),
+            pltpu.VMEM((bt, U, G * K), jnp.int8),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
-    )(bara_t, vv_steps, acc_flat)
+    )(jnp.array([[mu]], jnp.int32), amt, amat)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "block", "interpret"))

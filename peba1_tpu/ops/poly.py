@@ -268,12 +268,15 @@ def prepare_amat(vv_limbs: jax.Array, block: int = 128) -> jax.Array:
     """Precompute the fine-shift stage of the Toeplitz build ("A-matrix").
 
     vv_limbs: (..., G, C, 2N) doubled limb generator (prepare_toeplitz_rhs)
-    -> (..., G, K, C, span) int8 with A[kappa, c] = vv[(N-(U-1)K) - kappa + c],
-    span = N + (U-1)K, K = min(block, N), U = N // K.
+    -> (..., C, G, K, span) int8 with A[c, g, kappa, j] = vv[g, c,
+    (N-(U-1)K) - kappa + j], span = N + (U-1)K, K = min(block, N), U = N//K.
 
     With this laid out at keygen, the per-step full Toeplitz W assembles from
     U contiguous slices with NO transpose:
-      W[(g, u*K+kappa), (c, j)] = A[g, kappa, c, j + (U-1-u)*K].
+      W[(g, u*K+kappa), (c, j)] = A[c, g, kappa, j + (U-1-u)*K].
+    The limb-column axis C leads (ahead of the tiled K/span dims) so the
+    fused Pallas kernel can grid over it: TPU block shapes may only block
+    the last two dims in (8, 128)-divisible chunks.
     """
     n2 = vv_limbs.shape[-1]
     N = n2 // 2
@@ -285,47 +288,28 @@ def prepare_amat(vv_limbs: jax.Array, block: int = 128) -> jax.Array:
         jax.lax.slice_in_dim(vv_limbs, base - kappa, base - kappa + span, axis=-1)
         for kappa in range(K)
     ]
-    A = jnp.stack(sl, axis=-3)  # (..., G, K, C, span)
-    return A
-
-
-def prepare_amat_fused(vv_limbs: jax.Array, fine: int = 64) -> jax.Array:
-    """A-matrix layout for the fused Pallas blind rotation (pallas_kernels
-    .fused_blind_rotate_amat): (n, G, C, 2N) doubled limb generator ->
-    (n, C, G*K, span_pad) int8, K = fine.
-
-    The per-(step, limb-column c, coarse-shift u) MXU weight tile is the
-    direct contiguous slice A[s, c, :, off_u : off_u + N] with
-    off_u = (U-1-u)*K -- rows ordered g*K + kappa to match the digit LHS
-    d[:, :, u*K:(u+1)*K].reshape(bt, G*K).  span is zero-padded to a
-    multiple of 128 so the int8 (32, 128) VMEM tiling is exact (the padded
-    tail is never sliced).
-    """
-    A = prepare_amat(vv_limbs, block=fine)        # (n, G, K, C, span)
-    n, G, K, C, span = A.shape
-    A = jnp.moveaxis(A, 3, 1).reshape(n, C, G * K, span)
-    pad = (-span) % 128
-    return jnp.pad(A, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    A = jnp.stack(sl, axis=-3)        # (..., G, K, C, span)
+    return jnp.moveaxis(A, -2, -4)    # (..., C, G, K, span)
 
 
 def extprod_amat_i8(digits: jax.Array, A_i: jax.Array, limbs, N: int) -> jax.Array:
     """External product via the precomputed A-matrix: slice-assemble W, one dot.
 
-    digits: (B, G, N) int8; A_i: (G, K, C, span) int8 for this step.
+    digits: (B, G, N) int8; A_i: (C, G, K, span) int8 for this step.
     Returns (B, O, N) int32 mod 2^32.  Identical math to extprod_toeplitz_i8
-    but the only per-step data movement is U contiguous slice-copies (the W
-    materialization) -- no transposes, no fine-stage rebuild.
+    but the per-step data movement is U contiguous slice-copies plus one
+    transpose (the W materialization) -- no fine-stage rebuild.
     """
     B, G, _ = digits.shape
-    K = A_i.shape[1]
-    C = A_i.shape[2]
+    C, _, K, _ = A_i.shape
     plan = limbs if isinstance(limbs, tuple) else as_limb_plan(limbs, C // limbs)
     U = N // K
     w_slices = [
         jax.lax.slice_in_dim(A_i, (U - 1 - u) * K, (U - 1 - u) * K + N, axis=-1)
         for u in range(U)
     ]
-    W = jnp.stack(w_slices, axis=1)            # (G, U, K, C, N)
+    W = jnp.stack(w_slices, axis=2)            # (C, G, U, K, N)
+    W = jnp.moveaxis(W, 0, 3)                  # (G, U, K, C, N)
     W = W.reshape(G * N, C * N)
     out = jnp.dot(digits.reshape(B, G * N), W, preferred_element_type=jnp.int32)
     return recombine_plan_i32(out.reshape(B, C, N), plan)

@@ -39,7 +39,7 @@ class TfheParams:
         4 (exact): rounding error in a mask polynomial is multiplied by the
         secret key polynomial when the phase is decrypted, amplifying its
         stdev by ~sqrt(N/2) (~x23 at N=1024) -- measured on-chip as a 10x
-        noise blow-up and a >1% per-gate error rate (scripts/tpu_noise_diag).
+        noise blow-up and a >1% per-gate error rate (scripts/diag.py noise).
       bk_body_limbs: limbs for the BODY polynomial columns.  Body rounding
         error enters the phase directly (no key amplification): dropping the
         low byte (3 limbs) adds stdev ~2^-10 of a torus over n=630 CMUX
@@ -67,10 +67,16 @@ class TfheParams:
     use_pallas_rotate: bool = False
     # Run the ENTIRE blind rotation as one Pallas kernel (ops/pallas_kernels
     # .fused_blind_rotate): accumulator resident in VMEM across all n CMUX
-    # steps, Toeplitz weight tiles built in VMEM from the 56 KB doubled
-    # generator, limb recombination folded into the MXU epilogue.  Supersedes
-    # use_pallas_rotate when set.
+    # steps, precomputed A-matrix weight stream, limb recombination folded
+    # into the MXU epilogue.  Supersedes use_pallas_rotate when set.
     use_fused_cmux: bool = False
+    # Fine-shift block K of the precomputed A-matrix (ops/poly.prepare_amat):
+    # per-step storage is C*G*K*(N + (N/K - 1)*K) int8, and each of the C
+    # limb columns needs N/K MXU dots whose int32 outputs are VPU-summed --
+    # larger K = fewer epilogue adds but a bigger HBM key (K=256 at
+    # peba1_128_fast: 8.1 GB, U=4; K=128: 4.3 GB, U=8).  Must divide N and
+    # be a multiple of 128 (lane-aligned weight slices).
+    amat_block: int = 128
 
 
     @property
@@ -109,6 +115,9 @@ class TfheParams:
         # contraction of (k+1)*l*N terms of digit(<=2^(bgbit-1)) * limb(<=2^7)
         bound = (self.k + 1) * self.l * self.N * (1 << (self.bgbit - 1)) * 128
         assert bound < 2**31, "external-product int32 accumulation would overflow"
+        assert self.amat_block % 128 == 0 and (
+            self.N % self.amat_block == 0 or self.amat_block >= self.N), \
+            "amat_block must be a 128-multiple dividing N"
 
 
 # TFHE v1.x gate-bootstrapping defaults for minimum_lambda <= 128, the set the
@@ -176,14 +185,14 @@ TOY_NOISY = TfheParams(
 #     (ops/decompose.gadget_offset) -- with TFHE's biased truncation this
 #     gadget mis-decodes ~5%/gate; with rounding, measured on-chip
 #     post-bootstrap phase noise is sigma = 0.0051 against the 1/16 decoding
-#     margin (12 sigma), 0 errors in 4096 (scripts/tpu_noise_diag.py).
+#     margin (12 sigma), 0 errors in 4096 (scripts/diag.py noise).
 #   * body polynomial truncated to 3 limbs (-12.5% MACs): body rounding
 #     error enters the phase directly (no key amplification), stdev ~2^-10;
 #     the mask stays exact (its rounding error is key-convolved, x~sqrt(N/2),
 #     measured to break decoding -- see TfheParams.bk_limbs).
 #   * fused Pallas rotate+decompose kernel (one VMEM pass per CMUX step).
 # Measured end-to-end: 5,121 bootstraps/s/chip at B=8192, chained
-# correctness 100% (scripts/tpu_bench5.py l2_body3), vs 2,005 for
+# correctness 100% (scripts/diag.py throughput l2_body3), vs 2,005 for
 # PEBA1_128 with the XLA barrel rotate.
 PEBA1_128_FAST = dataclasses.replace(
     PEBA1_128, l=2, bgbit=8, bk_body_limbs=3, use_pallas_rotate=True)
