@@ -28,7 +28,7 @@ def gadget_offset(params: TfheParams) -> int:
     Without the half-ulp term the remainder x - recompose(decompose(x)) is
     uniform in (0, ulp] -- a systematic +ulp/2 bias per coefficient whose
     key-convolved accumulation over the blind rotation measured ~7.6x the
-    centered-remainder noise (scripts/tpu_noise_diag.py); at l*bgbit = 16
+    centered-remainder noise (scripts/diag.py noise); at l*bgbit = 16
     (the l=2/Bg=2^8 gadget) that breaks gate decoding outright.  TFHE v1.x
     itself does not round (its l*bgbit = 21 hides the bias); we deviate --
     conformance is pinned at gate outputs, not internal noise (SURVEY.md

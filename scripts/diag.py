@@ -1,0 +1,254 @@
+"""Consolidated on-chip diagnostics for peba1_tpu.
+
+One CLI, four modes (each previously an ad-hoc probe script):
+
+  python scripts/diag.py throughput [config ...]   honest bootstraps/s/chip
+  python scripts/diag.py noise                     post-bootstrap phase error
+  python scripts/diag.py relay                     relay-timing honesty check
+  python scripts/diag.py golden [--out FILE]       cipher golden-corpus run
+
+Relay pitfalls all modes work around (hard-won; see also the verify skill):
+the axon relay's jax.block_until_ready does not always block -- only a host
+fetch does, with 0.1-0.9 s latency noise -- and repeat executions of the
+same executable+inputs return cached results.  Honest timing therefore:
+  * times dispatch -> np.asarray(small output) fetched;
+  * runs TWO chain lengths S1 < S2 on FRESH inputs each and reports the
+    delta (t(S2)-t(S1))/(S2-S1), cancelling fetch noise and constant
+    overhead;
+  * never trusts a sub-second measurement.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("PEBA1_CACHE", "/root/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+
+from peba1_tpu import gates, keys, lwe
+from peba1_tpu.ops import bootstrap as bs
+from peba1_tpu.params import PEBA1_128, PRESETS
+
+MU = gates.MU_1_8
+
+# Throughput configs: the lambda=128 gadget/limb/kernel lever matrix.
+CONFIGS = {
+    "l3_exact": PEBA1_128,
+    "l3_exact_pallas": dataclasses.replace(PEBA1_128, use_pallas_rotate=True),
+    "l3_body3": dataclasses.replace(PEBA1_128, bk_body_limbs=3, use_pallas_rotate=True),
+    "l2_exact": dataclasses.replace(PEBA1_128, l=2, bgbit=8, use_pallas_rotate=True),
+    "l2_body3": dataclasses.replace(
+        PEBA1_128, l=2, bgbit=8, bk_body_limbs=3, use_pallas_rotate=True),
+    "l2_body3_fused": dataclasses.replace(
+        PEBA1_128, l=2, bgbit=8, bk_body_limbs=3, use_fused_cmux=True),
+    "l2_body3_fused_k256": dataclasses.replace(
+        PEBA1_128, l=2, bgbit=8, bk_body_limbs=3, use_fused_cmux=True,
+        amat_block=256),
+    "l3_fused": dataclasses.replace(PEBA1_128, use_fused_cmux=True),
+}
+
+
+def _keygen(P):
+    kg = jax.jit(keys.keygen, static_argnames=("params",))
+    t0 = time.time()
+    sk, ck = kg(jax.random.PRNGKey(0), params=P)
+    np.asarray(ck.ks_table_limbs[0, :4])  # force residency
+    return sk, ck, time.time() - t0
+
+
+def _chain(ck, a, b, *, steps):
+    """`steps` serialized identity bootstraps: AND(x, x) = x."""
+    def body(c, _):
+        pre = lwe.Lwe(c[0] * 2, c[1] * 2 + jnp.int32(-MU))
+        out = bs.bootstrap(ck, pre, jnp.int32(MU))
+        return (out.a, out.b), ()
+    (a, b), _ = jax.lax.scan(body, (a, b), None, length=steps)
+    return a, b
+
+
+# ---------------------------------------------------------------- throughput
+def mode_throughput(args):
+    B = args.batch
+    S1, S2 = 1, 4
+    for name in (args.configs or list(CONFIGS)):
+        P = CONFIGS[name] if name in CONFIGS else PRESETS[name]
+        sk, ck, dt = _keygen(P)
+        print(f"[{name}] keygen {dt:.0f}s", flush=True)
+        rng = np.random.default_rng(0)
+        bits = jnp.asarray(rng.integers(0, 2, B))
+        fns = {s: jax.jit(functools.partial(_chain, steps=s)) for s in (S1, S2)}
+        ts, ok, enc_seed = {}, float("nan"), 100
+        for s in (S1, S2):
+            # compile + warm on its own inputs (result may be relay-cached)
+            ct = gates.encrypt_bits(jax.random.PRNGKey(enc_seed), sk, bits)
+            enc_seed += 1
+            t0 = time.time()
+            out = fns[s](ck, ct.a, ct.b)
+            np.asarray(out[1][:8])
+            print(f"[{name}] steps={s} cold(compile+exec) {time.time()-t0:.0f}s",
+                  flush=True)
+            # timed run on FRESH inputs
+            ct = gates.encrypt_bits(jax.random.PRNGKey(enc_seed), sk, bits)
+            enc_seed += 1
+            np.asarray(ct.b[:4])
+            t0 = time.time()
+            out = fns[s](ck, ct.a, ct.b)
+            np.asarray(out[1][:8])
+            ts[s] = time.time() - t0
+            if s == S2:
+                got = np.asarray(lwe.decrypt_bit(lwe.Lwe(out[0], out[1]), sk.lwe_key))
+                ok = (got == np.asarray(bits)).mean()
+        dt = (ts[S2] - ts[S1]) / (S2 - S1)
+        print(f"[{name}] t1={ts[S1]:.2f}s t{S2}={ts[S2]:.2f}s -> "
+              f"{dt*1e3:.0f} ms/bootstrap-batch = {B/dt:,.0f} bs/s  "
+              f"(chain-correct {ok*100:.2f}%)", flush=True)
+
+
+# --------------------------------------------------------------------- noise
+def _phase_err(a, b, key_bits, bits):
+    """Signed phase error vs +-mu, as fraction of torus."""
+    a = np.asarray(a, np.int64)
+    b = np.asarray(b, np.int64)
+    key_bits = np.asarray(key_bits, np.int64)
+    phase = (b - a @ key_bits) & 0xFFFFFFFF
+    want = np.where(np.asarray(bits) == 1, MU, (-MU) & 0xFFFFFFFF)
+    e = (phase - want) & 0xFFFFFFFF
+    e = np.where(e >= 2**31, e - 2**32, e).astype(np.float64) / 2**32
+    return e
+
+
+def _noise_report(name, e):
+    errs = int((np.abs(e) > 1 / 16).sum())
+    print(f"  {name}: stdev={e.std():.6f} max|e|={np.abs(e).max():.6f} "
+          f"mean={e.mean():.2e} decode_errs={errs}/{e.size}", flush=True)
+    return {"stdev": float(e.std()), "max": float(np.abs(e).max()),
+            "decode_errs": errs, "n": int(e.size)}
+
+
+def mode_noise(args):
+    B = args.batch
+    bases = [(3, 7, 4), (2, 8, 4), (2, 8, 3)]
+    if os.environ.get("DIAG_BASES"):
+        bases = [tuple(map(int, b.split(",")))
+                 for b in os.environ["DIAG_BASES"].split(";")]
+    for l, bgbit, body in bases:
+        P = dataclasses.replace(PEBA1_128, l=l, bgbit=bgbit, bk_body_limbs=body)
+        sk, ck, dt = _keygen(P)
+        print(f"keygen l={l} bgbit={bgbit} body={body}: {dt:.0f}s", flush=True)
+        for tag, Pv in [("xla-rotate", P),
+                        ("pallas-rotate",
+                         dataclasses.replace(P, use_pallas_rotate=True))]:
+            ckv = ck.replace(params=Pv)
+            rng = np.random.default_rng(0)
+            bits = rng.integers(0, 2, B)
+            ct = gates.encrypt_bits(jax.random.PRNGKey(1), sk, jnp.asarray(bits))
+            pre = lwe.Lwe(ct.a * 2, ct.b * 2 + jnp.int32(-MU))
+            t0 = time.time()
+            a_ext, b_ext = jax.block_until_ready(
+                jax.jit(bs.bootstrap_wo_ks)(ckv, pre, jnp.int32(MU)))
+            out = jax.block_until_ready(
+                jax.jit(bs.bootstrap)(ckv, pre, jnp.int32(MU)))
+            print(f"[l={l} bg=2^{bgbit} body={body} {tag}] "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+            _noise_report("pre-ks ", _phase_err(
+                a_ext, b_ext, np.asarray(sk.extracted_key), bits))
+            _noise_report("post-ks", _phase_err(
+                out.a, out.b, np.asarray(sk.lwe_key), bits))
+
+
+# --------------------------------------------------------------------- relay
+def mode_relay(args):
+    """block_until_ready vs host-fetch timing at two chain lengths: if the
+    former scales with length like the latter, it actually blocks here."""
+    B, S1, S2 = args.batch, 1, 5
+    P = PRESETS[args.params]
+    sk, ck, _ = _keygen(P)
+    rng = np.random.default_rng(0)
+    bits = jnp.asarray(rng.integers(0, 2, B))
+    fns = {s: jax.jit(functools.partial(_chain, steps=s)) for s in (S1, S2)}
+    seed = 50
+    for s in (S1, S2):
+        ct = gates.encrypt_bits(jax.random.PRNGKey(seed), sk, bits); seed += 1
+        np.asarray(fns[s](ck, ct.a, ct.b)[1][:4])  # compile/warm
+    for label, finish in [("block_until_ready", jax.block_until_ready),
+                          ("host-fetch", lambda o: np.asarray(o[1][:4]))]:
+        for s in (S1, S2):
+            ct = gates.encrypt_bits(jax.random.PRNGKey(seed), sk, bits); seed += 1
+            np.asarray(ct.b[:4])
+            t0 = time.time()
+            finish(fns[s](ck, ct.a, ct.b))
+            print(f"[{label}] steps={s}: {time.time()-t0:.2f}s", flush=True)
+
+
+# -------------------------------------------------------------------- golden
+def mode_golden(args):
+    """Evaluate the frozen golden conformance corpus with the CIPHER circuit
+    at full protocol width on the chip; write the decision-equality artifact."""
+    from peba1_tpu import conformance as cf
+
+    corpus = cf.load_corpus(args.corpus)
+    P = PRESETS[args.params]
+    sk, ck, dt = _keygen(P)
+    print(f"keygen {dt:.0f}s; corpus n={corpus['n_cases']} "
+          f"nslots={corpus['nslots']} bitsize={corpus['bitsize']}", flush=True)
+    t0 = time.time()
+    got_b, got_y = cf.eval_cipher(sk, ck, corpus, jax.random.PRNGKey(9),
+                                  batch=args.corpus_batch)
+    dt = time.time() - t0
+    _, _, _, _, _, want_b, want_y = cf.corpus_arrays(corpus)
+    rec = {
+        "metric": "golden_corpus_decision_equality",
+        "params": args.params,
+        "n_cases": int(len(want_b)),
+        "nslots": corpus["nslots"], "bitsize": corpus["bitsize"],
+        "b_equal": int((got_b == want_b).sum()),
+        "y_equal": int((got_y == want_y).sum()),
+        "all_equal": bool((got_b == want_b).all() and (got_y == want_y).all()),
+        "seconds": round(dt, 1),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(rec), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(rec, f)
+    if not rec["all_equal"]:
+        sys.exit(1)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="mode", required=True)
+    t = sub.add_parser("throughput")
+    t.add_argument("configs", nargs="*", choices=[[], *CONFIGS],
+                   metavar="config")
+    t.add_argument("--batch", type=int, default=int(os.environ.get("B", 8192)))
+    n = sub.add_parser("noise")
+    n.add_argument("--batch", type=int, default=int(os.environ.get("B", 4096)))
+    r = sub.add_parser("relay")
+    r.add_argument("--batch", type=int, default=4096)
+    r.add_argument("--params", default="peba1_128_fast", choices=sorted(PRESETS))
+    g = sub.add_parser("golden")
+    g.add_argument("--params", default="peba1_128_fast", choices=sorted(PRESETS))
+    g.add_argument("--corpus", default=os.path.join(
+        os.path.dirname(__file__), "..", "tests", "data", "golden_corpus.json"))
+    g.add_argument("--corpus-batch", type=int, default=16)
+    g.add_argument("--out", default=None)
+    args = ap.parse_args()
+    {"throughput": mode_throughput, "noise": mode_noise,
+     "relay": mode_relay, "golden": mode_golden}[args.mode](args)
+
+
+if __name__ == "__main__":
+    main()
