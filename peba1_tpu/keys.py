@@ -49,6 +49,11 @@ class CloudKey:
     # or None unless ext_backend == "amat" / use_fused_cmux (it is large:
     # ~4.3 GB at peba1_128_fast, ~7.4 GB at peba1_128)
     bk_amat: jax.Array | None
+    # (n, G*N, C*N) int8 fully materialized per-step Toeplitz weights
+    # (ops/poly.prepare_w_full), or None unless use_pallas_extprod (it is
+    # very large: ~10.9 GB on the t2 set -- only viable where k*N and the
+    # limb plan keep G*N x C*N x n within HBM).
+    bk_w: jax.Array | None
     ks_table_limbs: jax.Array  # (kN*t, (n+1)*4) int8 digit-matmul table
     params: TfheParams = struct.field(pytree_node=False)
 
@@ -73,6 +78,7 @@ def make_cloud_key(k_bk: jax.Array, k_ks: jax.Array, sk: SecretKey) -> CloudKey:
     bk_tp = jax.vmap(lambda g: poly.prepare_toeplitz_rhs(g, p.limb_plan))(bk)
     need_amat = p.ext_backend == "amat" or p.use_fused_cmux
     bk_amat = poly.prepare_amat(bk_tp, block=p.amat_block) if need_amat else None
+    bk_w = poly.prepare_w_full(bk_tp) if p.use_pallas_extprod else None
 
     # --- Keyswitch key: ks[i][j] = LWE_s(K_i / base^(j+1)); the switched
     # sample accumulates digit-value * row (ops/bootstrap.keyswitch_digits).
@@ -89,4 +95,4 @@ def make_cloud_key(k_bk: jax.Array, k_ks: jax.Array, sk: SecretKey) -> CloudKey:
     tl = poly.split_limbs_i8(table, 4)  # (kN, t, n+1, 4)
     ks_table_limbs = tl.reshape(kn * p.ks_t, (p.n + 1) * 4)
     return CloudKey(bk=bk, bk_conv=bk_conv, bk_tp=bk_tp, bk_amat=bk_amat,
-                    ks_table_limbs=ks_table_limbs, params=p)
+                    bk_w=bk_w, ks_table_limbs=ks_table_limbs, params=p)

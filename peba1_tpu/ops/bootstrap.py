@@ -66,10 +66,11 @@ def blind_rotate(ck: CloudKey, bara: jax.Array, barb: jax.Array, mu) -> jax.Arra
          rotate.negacyclic_rotate(tv, (2 * p.N - barb) % (2 * p.N))[:, None, :]],
         axis=1,
     )
-    backend = p.ext_backend
-    bk_steps = {"toeplitz": ck.bk_tp, "conv": ck.bk_conv, "amat": ck.bk_amat}[backend]
+    backend = "pallas_extprod" if p.use_pallas_extprod else p.ext_backend
+    bk_steps = {"toeplitz": ck.bk_tp, "conv": ck.bk_conv, "amat": ck.bk_amat,
+                "pallas_extprod": ck.bk_w}[backend]
 
-    if p.use_pallas_rotate:
+    if p.use_pallas_rotate or backend == "pallas_extprod":
         from . import pallas_kernels as pk
         interp = jax.devices()[0].platform != "tpu"
 
@@ -84,7 +85,11 @@ def blind_rotate(ck: CloudKey, bara: jax.Array, barb: jax.Array, mu) -> jax.Arra
             d = dec.decompose(diff, p)                # (B, k+1, N, l) int8
             d = jnp.moveaxis(d, -1, -2)               # (B, k+1, l, N)
             d = d.reshape(B, (p.k + 1) * p.l, p.N)
-        if backend == "toeplitz":
+        if backend == "pallas_extprod":
+            delta = pk.extprod_recombine(
+                d.reshape(B, -1), bk_i, p, interpret=interp)
+            delta = delta.reshape(B, p.k + 1, p.N)
+        elif backend == "toeplitz":
             delta = poly.extprod_toeplitz_i8(d, bk_i, p.limb_plan)
         elif backend == "amat":
             delta = poly.extprod_amat_i8(d, bk_i, p.limb_plan, p.N)

@@ -218,6 +218,74 @@ def fused_blind_rotate(amt: jax.Array, amat: jax.Array, mu,
     )(jnp.array([[mu]], jnp.int32), amt, amat)
 
 
+def _extprod_rec_kernel(d_ref, w_ref, out_ref, *, plan, N: int):
+    """One batch tile of the external product with fused limb recombination.
+
+    d_ref: (Bt, G*N) int8 gadget digits (rotate_decompose layout).
+    w_ref: (G*N, C*N) int8 full negacyclic-Toeplitz weights for this CMUX
+      step (CloudKey.bk_w[s]; columns output-major, low limb first, so output
+      poly o's limbs occupy the contiguous segment [c0*N, (c0+nl)*N)).
+    out_ref: (Bt, O*N) int32 recombined delta.
+
+    The (Bt, C*N) int32 limb products exist only as per-output VMEM values:
+    each output poly's GEMM segment is recombined (static shift-add over its
+    nl limb blocks) immediately and written once.
+    """
+    lhs = d_ref[:]
+    c0 = 0
+    for o, nl in enumerate(plan):
+        rhs = w_ref[:, c0 * N:(c0 + nl) * N]
+        raw = jax.lax.dot_general(
+            lhs, rhs, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)      # (Bt, nl*N)
+        shift0 = 8 * (4 - nl)
+        acc = None
+        for m in range(nl):
+            term = raw[:, m * N:(m + 1) * N] << (shift0 + 8 * m)
+            acc = term if acc is None else acc + term
+        out_ref[:, o * N:(o + 1) * N] = acc
+        c0 += nl
+
+
+@functools.partial(jax.jit, static_argnames=("params", "block", "interpret"))
+def extprod_recombine(digits_flat: jax.Array, w_step: jax.Array,
+                      params: TfheParams, block: int = 1024,
+                      interpret: bool = False) -> jax.Array:
+    """External product GEMM with the limb recombination fused as epilogue.
+
+    digits_flat: (B, G*N) int8; w_step: (G*N, C*N) int8 (one step of
+    CloudKey.bk_w).  Returns (B, (k+1)*N) int32 == extprod_toeplitz_i8
+    bit-for-bit, but the (B, C*N) int32 limb-product intermediate never
+    leaves VMEM: per-step HBM traffic drops from ~184 MB write + 184 MB read
+    + 50 MB write (B=8192, t2 set) to the 50 MB delta write.
+
+    Grid is batch tiles only; the weight block's index map is constant so the
+    Pallas pipeline fetches it once and keeps it VMEM-resident across tiles.
+    """
+    p = params
+    plan = p.limb_plan
+    B, GN = digits_flat.shape
+    CN = w_step.shape[1]
+    assert w_step.shape[0] == GN, (w_step.shape, GN)
+    assert CN == sum(plan) * p.N, (CN, plan, p.N)
+    bt = min(block, B)
+    assert B % bt == 0, (B, bt)
+    vmem_limit = int(os.environ.get("PEBA1_VMEM_LIMIT", 100 * 1024 * 1024))
+    return pl.pallas_call(
+        functools.partial(_extprod_rec_kernel, plan=plan, N=p.N),
+        grid=(B // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, GN), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GN, CN), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, (p.k + 1) * p.N), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, (p.k + 1) * p.N), jnp.int32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(digits_flat, w_step)
+
+
 @functools.partial(jax.jit, static_argnames=("params", "block", "interpret"))
 def rotate_decompose(acc_flat: jax.Array, amt: jax.Array, params: TfheParams,
                      block: int = 256, interpret: bool = False) -> jax.Array:

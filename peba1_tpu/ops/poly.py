@@ -264,6 +264,38 @@ def prepare_toeplitz_rhs(q: jax.Array, limbs) -> jax.Array:
     return jnp.concatenate(cols, axis=1)               # (G, C, 2N)
 
 
+def prepare_w_full(vv_limbs: jax.Array, chunk: int | None = None) -> jax.Array:
+    """Materialize the full per-step Toeplitz weight matrices at keygen.
+
+    vv_limbs: (n, G, C, 2N) int8 doubled limb generator (prepare_toeplitz_rhs,
+    vmapped over steps) -> (n, G*N, C*N) int8 with
+    W[s, g*N + t, c*N + j] = (X^t * q_limb[s, g, c])[j] -- exactly the matrix
+    `extprod_toeplitz_i8` assembles per step, precomputed once so the
+    per-step GEMM (pallas_kernels.extprod_recombine) streams it directly.
+
+    Built in step chunks through a fori_loop + dynamic_update_slice so the
+    intermediate Toeplitz stacks stay ~1 GB while the (large: ~10.9 GB on the
+    t2 set) output buffer is updated in place.
+    """
+    n, G, C, n2 = vv_limbs.shape
+    N = n2 // 2
+    if chunk is None:
+        chunk = max(1, min(n, 2**27 // max(1, G * C * N * N // n)))
+        # pick a divisor of n near 64 steps
+        chunk = next((c for c in range(min(64, n), 0, -1) if n % c == 0), 1)
+    assert n % chunk == 0, (n, chunk)
+    out = jnp.zeros((n, G * N, C * N), jnp.int8)
+
+    def body(i, out):
+        vv = jax.lax.dynamic_slice_in_dim(vv_limbs, i * chunk, chunk, 0)
+        w = negacyclic_toeplitz(vv)               # (chunk, G, C, N, N)
+        w = jnp.moveaxis(w, 3, 2)                 # (chunk, G, N_t, C, N_j)
+        w = w.reshape(chunk, G * N, C * N)
+        return jax.lax.dynamic_update_slice_in_dim(out, w, i * chunk, 0)
+
+    return jax.lax.fori_loop(0, n // chunk, body, out)
+
+
 def prepare_amat(vv_limbs: jax.Array, block: int = 128) -> jax.Array:
     """Precompute the fine-shift stage of the Toeplitz build ("A-matrix").
 

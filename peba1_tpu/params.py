@@ -69,7 +69,16 @@ class TfheParams:
     # .fused_blind_rotate): accumulator resident in VMEM across all n CMUX
     # steps, precomputed A-matrix weight stream, limb recombination folded
     # into the MXU epilogue.  Supersedes use_pallas_rotate when set.
+    # Measured SLOWER than the scan-step path on v5e (it re-streams the
+    # A-matrix key once per batch tile); kept as a tested alternative.
     use_fused_cmux: bool = False
+    # Per-step external product as a Pallas GEMM with the limb recombination
+    # fused into the epilogue (ops/pallas_kernels.extprod_recombine): the
+    # (B, C*N) int32 limb-product intermediate -- 184 MB/step at B=8192 on
+    # the t2 set, the dominant non-MXU HBM traffic of the unfused path --
+    # stays in VMEM.  Requires the keygen-precomputed per-step Toeplitz key
+    # form CloudKey.bk_w ((n, G*N, C*N) int8; ~10.9 GB on the t2 set).
+    use_pallas_extprod: bool = False
     # Fine-shift block K of the precomputed A-matrix (ops/poly.prepare_amat):
     # per-step storage is C*G*K*(N + (N/K - 1)*K) int8, and each of the C
     # limb columns needs N/K MXU dots whose int32 outputs are VPU-summed --
@@ -202,12 +211,43 @@ PEBA1_128_FAST = dataclasses.replace(
 TOY_FAST = dataclasses.replace(
     TOY, l=2, bgbit=8, bk_body_limbs=3, use_pallas_rotate=True)
 
+# Module-LWE throughput set: k=2 rank-2 module over N=512 instead of k=1 over
+# N=1024.  Same total key dimension k*N = 1024, same key distribution
+# (uniform binary) and same noise rates as PEBA1_128_FAST, so the MLWE
+# instance is at least as hard as the k=1 RLWE instance of equal dimension
+# (module structure interpolates from ring- toward plain LWE) -- lambda ~ 128
+# like TFHE v1.x's N=1024 set.  Why it is faster on the MXU: external-product
+# MACs scale as (k+1)*l*N x (k*mask_limbs + body_limbs)*N = 3072 x 5632 per
+# step, 0.59x of the k=1 set's 4096 x 7168, and the per-step barrel rotation
+# touches (k+1)*N = 1536 int32 lanes over log2(2N) = 10 stages (0.68x).  The
+# price is modswitch rounding to Z_{2N} with N=512: phase-error stdev
+# sqrt(n/12)/(2N) = 0.0070 vs 0.0035, total sigma ~0.009 against the 1/16
+# margin (~7 sigma; measured on-chip via scripts/diag.py noise).
+#
+# Kernel choice (measured on v5e, B=8192, scripts/diag.py throughput):
+# the scan-step XLA GEMM with the Pallas rotate+decompose (t2_xla) ran at
+# 8,106 bs/s vs 2,471 for the whole-rotation fused Pallas kernel (t2_fused)
+# -- the fused kernel re-streams the A-matrix key per batch tile and its
+# per-tile dots are too skinny for the MXU.  use_pallas_extprod then fuses
+# the limb-recombination epilogue into the external-product GEMM so the
+# (B, C*N) int32 limb products never round-trip HBM.
+PEBA1_128_T2 = dataclasses.replace(
+    PEBA1_128, k=2, N=512, l=2, bgbit=8, bk_body_limbs=3,
+    use_pallas_rotate=True, use_pallas_extprod=True)
+
+# TOY-scale module set (k=2) so every MLWE code path runs on CPU.
+TOY_T2 = dataclasses.replace(
+    TOY, k=2, N=128, l=2, bgbit=8, bk_body_limbs=3,
+    use_pallas_rotate=True, use_pallas_extprod=True)
+
 PRESETS = {
     "peba1_128": PEBA1_128,
     "peba1_128_fast": PEBA1_128_FAST,
+    "peba1_128_t2": PEBA1_128_T2,
     "ring_2048": RING_2048,
     "toy": TOY,
     "toy_fast": TOY_FAST,
+    "toy_t2": TOY_T2,
     "toy_noisy": TOY_NOISY,
 }
 

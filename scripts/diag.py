@@ -57,6 +57,12 @@ CONFIGS = {
         PEBA1_128, l=2, bgbit=8, bk_body_limbs=3, use_fused_cmux=True,
         amat_block=256),
     "l3_fused": dataclasses.replace(PEBA1_128, use_fused_cmux=True),
+    "t2_extprod": PRESETS["peba1_128_t2"],
+    "t2_xla": dataclasses.replace(
+        PRESETS["peba1_128_t2"], use_pallas_extprod=False),
+    "t2_fused": dataclasses.replace(
+        PRESETS["peba1_128_t2"], use_pallas_extprod=False,
+        use_pallas_rotate=False, use_fused_cmux=True),
 }
 
 
@@ -139,14 +145,13 @@ def _noise_report(name, e):
 
 def mode_noise(args):
     B = args.batch
-    bases = [(3, 7, 4), (2, 8, 4), (2, 8, 3)]
-    if os.environ.get("DIAG_BASES"):
-        bases = [tuple(map(int, b.split(",")))
-                 for b in os.environ["DIAG_BASES"].split(";")]
-    for l, bgbit, body in bases:
-        P = dataclasses.replace(PEBA1_128, l=l, bgbit=bgbit, bk_body_limbs=body)
+    bases = [dict(l=3, bgbit=7, bk_body_limbs=4),
+             dict(l=2, bgbit=8, bk_body_limbs=3),
+             dict(l=2, bgbit=8, bk_body_limbs=3, k=2, N=512)]
+    for kw in bases:
+        P = dataclasses.replace(PEBA1_128, **kw)
         sk, ck, dt = _keygen(P)
-        print(f"keygen l={l} bgbit={bgbit} body={body}: {dt:.0f}s", flush=True)
+        print(f"keygen {kw}: {dt:.0f}s", flush=True)
         for tag, Pv in [("xla-rotate", P),
                         ("pallas-rotate",
                          dataclasses.replace(P, use_pallas_rotate=True))]:
@@ -160,12 +165,66 @@ def mode_noise(args):
                 jax.jit(bs.bootstrap_wo_ks)(ckv, pre, jnp.int32(MU)))
             out = jax.block_until_ready(
                 jax.jit(bs.bootstrap)(ckv, pre, jnp.int32(MU)))
-            print(f"[l={l} bg=2^{bgbit} body={body} {tag}] "
-                  f"({time.time()-t0:.0f}s)", flush=True)
+            print(f"[{kw} {tag}] ({time.time()-t0:.0f}s)", flush=True)
             _noise_report("pre-ks ", _phase_err(
                 a_ext, b_ext, np.asarray(sk.extracted_key), bits))
             _noise_report("post-ks", _phase_err(
                 out.a, out.b, np.asarray(sk.lwe_key), bits))
+
+
+# ------------------------------------------------------------------ campaign
+def mode_campaign(args):
+    """Statistical per-gate error campaign at real parameters on the chip.
+
+    Runs `steps` CHAINED batched identity bootstraps (AND(x,x) = x) on
+    `batch` fresh encryptions -- batch*steps serialized gate evaluations,
+    every intermediate output feeding the next gate, so any mid-chain decode
+    error flips downstream bits and lands in `chain_error_frac`.  The final
+    outputs' phase-error distribution (under the small key) is the
+    steady-state per-gate error; the JSON artifact records sigma, max|e|,
+    the 1/16 decoding margin in sigma units, and the implied Gaussian
+    per-gate error bound.  tests/test_noise.py pins the committed artifact.
+    """
+    P = PRESETS[args.params]
+    sk, ck, dt = _keygen(P)
+    print(f"keygen {dt:.0f}s", flush=True)
+    B, S = args.batch, args.steps
+    rng = np.random.default_rng(1)
+    bits = rng.integers(0, 2, B)
+    fn = jax.jit(functools.partial(_chain, steps=S))
+    ct = gates.encrypt_bits(jax.random.PRNGKey(321), sk, jnp.asarray(bits))
+    t0 = time.time()
+    a, b = fn(ck, ct.a, ct.b)
+    a = np.asarray(a)
+    b = np.asarray(b)
+    dt = time.time() - t0
+    e = _phase_err(a, b, np.asarray(sk.lwe_key), bits)
+    got = (np.asarray(
+        lwe.decrypt_bit(lwe.Lwe(jnp.asarray(a), jnp.asarray(b)), sk.lwe_key))
+        == bits)
+    sigma = float(e.std())
+    margin = 1 / 16
+    import math
+    per_gate = math.erfc(margin / sigma / math.sqrt(2))
+    rec = {
+        "metric": "chained_gate_error_campaign",
+        "params": args.params,
+        "gates": int(B) * int(S),
+        "batch": int(B), "chain_steps": int(S),
+        "chain_error_frac": float(1 - got.mean()),
+        "phase_sigma": round(sigma, 6),
+        "phase_max_abs": round(float(np.abs(e).max()), 6),
+        "margin": margin,
+        "margin_sigmas": round(margin / sigma, 2),
+        "gaussian_per_gate_error_bound": float(f"{per_gate:.3e}"),
+        "final_decode_errs": int((np.abs(e) > margin).sum()),
+        "seconds": round(dt, 1),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(rec), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(rec, f, indent=1)
 
 
 # --------------------------------------------------------------------- relay
@@ -236,6 +295,11 @@ def main():
     t.add_argument("--batch", type=int, default=int(os.environ.get("B", 8192)))
     n = sub.add_parser("noise")
     n.add_argument("--batch", type=int, default=int(os.environ.get("B", 4096)))
+    cp = sub.add_parser("campaign")
+    cp.add_argument("--params", default="peba1_128_fast", choices=sorted(PRESETS))
+    cp.add_argument("--batch", type=int, default=8192)
+    cp.add_argument("--steps", type=int, default=128)
+    cp.add_argument("--out", default=None)
     r = sub.add_parser("relay")
     r.add_argument("--batch", type=int, default=4096)
     r.add_argument("--params", default="peba1_128_fast", choices=sorted(PRESETS))
@@ -247,7 +311,8 @@ def main():
     g.add_argument("--out", default=None)
     args = ap.parse_args()
     {"throughput": mode_throughput, "noise": mode_noise,
-     "relay": mode_relay, "golden": mode_golden}[args.mode](args)
+     "campaign": mode_campaign, "relay": mode_relay,
+     "golden": mode_golden}[args.mode](args)
 
 
 if __name__ == "__main__":
