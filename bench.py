@@ -1,7 +1,9 @@
 """Headline benchmark: gate bootstraps/s/chip (BASELINE.json north star).
 
-Runs CHAINED batched AND-gate bootstraps at the reference's lambda=128
-parameters (n=630, N=1024) on the default JAX backend (the TPU chip), checks
+Runs CHAINED batched AND-gate bootstraps at lambda=128 parameters (default
+preset peba1_128_t2: n=630, k*N=1024 as a rank-2 module over N=512 -- same
+total key dimension and noise rates as the reference's TFHE v1.x set; see
+peba1_tpu/params.py) on the default JAX backend (the TPU chip), checks
 decryption correctness of the chained output, and prints ONE JSON line:
 
   {"metric": "gate_bootstraps_per_s_per_chip", "value": ..., ...}
@@ -40,7 +42,7 @@ B = int(os.environ.get("PEBA1_BENCH_BATCH", "8192"))
 S1 = int(os.environ.get("PEBA1_BENCH_S1", "1"))
 S2 = int(os.environ.get("PEBA1_BENCH_S2", "5"))
 REPS = int(os.environ.get("PEBA1_BENCH_REPS", "2"))
-PARAMS = os.environ.get("PEBA1_BENCH_PARAMS", "peba1_128_fast")
+PARAMS = os.environ.get("PEBA1_BENCH_PARAMS", "peba1_128_t2")
 assert S2 > S1 >= 1, f"need S2 > S1 >= 1, got S1={S1} S2={S2}"
 
 

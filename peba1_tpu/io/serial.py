@@ -75,7 +75,8 @@ def load_cloud_key(path: str) -> CloudKey:
     need_amat = params.ext_backend == "amat" or params.use_fused_cmux
     bk_amat = (poly.prepare_amat(bk_tp, block=params.amat_block)
                if need_amat else None)
-    bk_w = poly.prepare_w_full(bk_tp) if params.use_pallas_extprod else None
+    need_w = params.use_pallas_extprod or params.use_fused_step
+    bk_w = poly.prepare_w_full(bk_tp) if need_w else None
     return CloudKey(bk=jnp.asarray(z["bk"]), bk_conv=jnp.asarray(z["bk_conv"]),
                     bk_tp=bk_tp, bk_amat=bk_amat, bk_w=bk_w,
                     ks_table_limbs=jnp.asarray(z["ks_table_limbs"]), params=params)

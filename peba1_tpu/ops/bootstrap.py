@@ -70,9 +70,17 @@ def blind_rotate(ck: CloudKey, bara: jax.Array, barb: jax.Array, mu) -> jax.Arra
     bk_steps = {"toeplitz": ck.bk_tp, "conv": ck.bk_conv, "amat": ck.bk_amat,
                 "pallas_extprod": ck.bk_w}[backend]
 
-    if p.use_pallas_rotate or backend == "pallas_extprod":
+    if p.use_pallas_rotate or p.use_fused_step or backend == "pallas_extprod":
         from . import pallas_kernels as pk
         interp = jax.devices()[0].platform != "tpu"
+
+    if p.use_fused_step:
+        def fstep(acc_flat, xs):
+            amt, w_i = xs
+            return pk.cmux_step(acc_flat, amt, w_i, p, interpret=interp), ()
+        acc_flat, _ = jax.lax.scan(
+            fstep, acc.reshape(B, -1), (bara.T, ck.bk_w))
+        return acc_flat.reshape(B, p.k + 1, p.N)
 
     def step(acc, xs):
         amt, bk_i = xs

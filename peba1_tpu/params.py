@@ -79,6 +79,12 @@ class TfheParams:
     # stays in VMEM.  Requires the keygen-precomputed per-step Toeplitz key
     # form CloudKey.bk_w ((n, G*N, C*N) int8; ~10.9 GB on the t2 set).
     use_pallas_extprod: bool = False
+    # One whole CMUX step (rotate + decompose + GEMM + recombine +
+    # accumulate) as a single Pallas kernel with the accumulator aliased
+    # in place (ops/pallas_kernels.cmux_step): neither the digit matrix nor
+    # the recombined delta ever leaves VMEM.  Also requires bk_w.
+    # Supersedes use_pallas_rotate/use_pallas_extprod when set.
+    use_fused_step: bool = False
     # Fine-shift block K of the precomputed A-matrix (ops/poly.prepare_amat):
     # per-step storage is C*G*K*(N + (N/K - 1)*K) int8, and each of the C
     # limb columns needs N/K MXU dots whose int32 outputs are VPU-summed --
@@ -225,20 +231,21 @@ TOY_FAST = dataclasses.replace(
 # margin (~7 sigma; measured on-chip via scripts/diag.py noise).
 #
 # Kernel choice (measured on v5e, B=8192, scripts/diag.py throughput):
-# the scan-step XLA GEMM with the Pallas rotate+decompose (t2_xla) ran at
-# 8,106 bs/s vs 2,471 for the whole-rotation fused Pallas kernel (t2_fused)
-# -- the fused kernel re-streams the A-matrix key per batch tile and its
-# per-tile dots are too skinny for the MXU.  use_pallas_extprod then fuses
-# the limb-recombination epilogue into the external-product GEMM so the
-# (B, C*N) int32 limb products never round-trip HBM.
+#   plain XLA GEMM + Pallas rotate (t2_xla)             8,106 bs/s
+#   + GEMM epilogue recombination (t2_extprod)          9,464 bs/s
+#   single-kernel CMUX step, acc aliased (t2_step)     12,269 bs/s  <- this
+#   whole-rotation fused kernel (t2_fused)              2,471 bs/s
+# (the whole-rotation kernel re-streams the A-matrix key per batch tile and
+# its per-tile dots are too skinny for the MXU).  All paths bit-identical
+# (tests/test_fused.py); chain-correctness 100% on every measurement.
 PEBA1_128_T2 = dataclasses.replace(
     PEBA1_128, k=2, N=512, l=2, bgbit=8, bk_body_limbs=3,
-    use_pallas_rotate=True, use_pallas_extprod=True)
+    use_pallas_rotate=True, use_fused_step=True)
 
 # TOY-scale module set (k=2) so every MLWE code path runs on CPU.
 TOY_T2 = dataclasses.replace(
     TOY, k=2, N=128, l=2, bgbit=8, bk_body_limbs=3,
-    use_pallas_rotate=True, use_pallas_extprod=True)
+    use_pallas_rotate=True, use_fused_step=True)
 
 PRESETS = {
     "peba1_128": PEBA1_128,

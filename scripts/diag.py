@@ -57,11 +57,14 @@ CONFIGS = {
         PEBA1_128, l=2, bgbit=8, bk_body_limbs=3, use_fused_cmux=True,
         amat_block=256),
     "l3_fused": dataclasses.replace(PEBA1_128, use_fused_cmux=True),
-    "t2_extprod": PRESETS["peba1_128_t2"],
+    "t2_step": PRESETS["peba1_128_t2"],
+    "t2_extprod": dataclasses.replace(
+        PRESETS["peba1_128_t2"], use_fused_step=False,
+        use_pallas_extprod=True),
     "t2_xla": dataclasses.replace(
-        PRESETS["peba1_128_t2"], use_pallas_extprod=False),
+        PRESETS["peba1_128_t2"], use_fused_step=False),
     "t2_fused": dataclasses.replace(
-        PRESETS["peba1_128_t2"], use_pallas_extprod=False,
+        PRESETS["peba1_128_t2"], use_fused_step=False,
         use_pallas_rotate=False, use_fused_cmux=True),
 }
 

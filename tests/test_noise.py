@@ -50,6 +50,39 @@ def test_bootstrap_output_noise_within_budget(noisy_keys):
         np.asarray(gates.decrypt_bits(out, sk)), np.asarray(bits))
 
 
+def test_committed_noise_campaign_artifacts():
+    """Pin the on-chip chained-gate error campaign (scripts/diag.py campaign).
+
+    The throughput-tuned gadgets deviate from TFHE defaults (l=2/Bg=2^8,
+    3-limb body, and the t2 set's N=512 modswitch); their viability for the
+    ~2.2e5-gate protocol rests on the committed campaign artifacts: measured
+    post-bootstrap phase sigma, the 1/16 decoding margin in sigma units, and
+    zero observed errors over the full chained run.
+    """
+    import glob
+    import json
+    import math
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    paths = sorted(glob.glob(os.path.join(root, "NOISE_*.json")))
+    if not paths:
+        pytest.skip("no committed campaign artifact yet")
+    for path in paths:
+        with open(path) as f:
+            rec = json.load(f)
+        assert rec["gates"] >= 10**6, path
+        assert rec["chain_error_frac"] == 0.0, path
+        assert rec["final_decode_errs"] == 0, path
+        # Gaussian tail bound at the measured sigma: per-gate error must be
+        # far below 1/2.2e5 (one 1:1 match) -- require < 1e-9/gate so even a
+        # 10k-template 1:N sweep (~2.2e9 gates) stays at ~1% failure odds.
+        sigma, margin = rec["phase_sigma"], rec["margin"]
+        per_gate = math.erfc(margin / sigma / math.sqrt(2))
+        assert per_gate < 1e-9, (path, per_gate)
+        assert rec["margin_sigmas"] >= 6.0, path
+
+
 def test_deep_gate_chain_stays_correct(noisy_keys):
     """Noise must not accumulate across bootstraps (each gate refreshes)."""
     sk, ck = noisy_keys
