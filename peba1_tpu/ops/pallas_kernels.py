@@ -25,6 +25,18 @@ from ..params import TfheParams
 from . import decompose as dec
 
 
+def _fit_block(B: int, want: int) -> int:
+    """Largest batch-tile size that divides B and is <= want (>= 1).
+
+    Batch tiling requires bt | B; rather than hard-failing on e.g. B=192
+    with a 128 block, degrade to the nearest dividing tile.
+    """
+    bt = max(1, min(want, B))
+    while B % bt:
+        bt -= 1
+    return bt
+
+
 def _neg_roll_static(x: jax.Array, s: int, N: int) -> jax.Array:
     """X^s * p on a (Bt, N) VMEM block, static s in (0, N)."""
     y = pltpu.roll(x, s, axis=1)
@@ -155,7 +167,7 @@ def _fused_cmux_kernel(mu_ref, amt_ref, a_ref, out_ref, d_ref,
 @functools.partial(jax.jit, static_argnames=("params", "block", "interpret"))
 def fused_blind_rotate(amt: jax.Array, amat: jax.Array, mu,
                        params: TfheParams,
-                       block: int = int(os.environ.get("PEBA1_FUSED_BLOCK", 128)),
+                       block: int | None = None,
                        interpret: bool = False) -> jax.Array:
     """Full blind rotation as ONE Pallas kernel against the precomputed
     A-matrix bootstrapping key (CloudKey.bk_amat, ops/poly.prepare_amat).
@@ -188,8 +200,11 @@ def fused_blind_rotate(amt: jax.Array, amat: jax.Array, mu,
     U = N // K
     assert span == N + (U - 1) * K, (span, N, K)
     assert C == sum(plan), (C, plan)
-    bt = min(block, B)
-    assert B % bt == 0, (B, bt)
+    # Env knob resolved at call time (PEBA1_FUSED_BLOCK); a block that does
+    # not divide B degrades to the nearest dividing tile.
+    if block is None:
+        block = int(os.environ.get("PEBA1_FUSED_BLOCK", 128))
+    bt = _fit_block(B, block)
     grid = (B // bt, n_steps)
     # amt rows padded so the lane dim satisfies int32 tiling.
     n_pad = -(-(n_steps + 1) // 128) * 128
@@ -268,8 +283,7 @@ def extprod_recombine(digits_flat: jax.Array, w_step: jax.Array,
     CN = w_step.shape[1]
     assert w_step.shape[0] == GN, (w_step.shape, GN)
     assert CN == sum(plan) * p.N, (CN, plan, p.N)
-    bt = min(block, B)
-    assert B % bt == 0, (B, bt)
+    bt = _fit_block(B, block)
     vmem_limit = int(os.environ.get("PEBA1_VMEM_LIMIT", 100 * 1024 * 1024))
     return pl.pallas_call(
         functools.partial(_extprod_rec_kernel, plan=plan, N=p.N),
@@ -327,7 +341,7 @@ def _cmux_step_kernel(amt_ref, w_ref, acc_in_ref, out_ref, d_ref,
 @functools.partial(jax.jit, static_argnames=("params", "block", "interpret"))
 def cmux_step(acc_flat: jax.Array, amt: jax.Array, w_step: jax.Array,
               params: TfheParams,
-              block: int = int(os.environ.get("PEBA1_STEP_BLOCK", 1024)),
+              block: int | None = None,
               interpret: bool = False) -> jax.Array:
     """One whole blind-rotation step as a single Pallas kernel.
 
@@ -344,8 +358,11 @@ def cmux_step(acc_flat: jax.Array, amt: jax.Array, w_step: jax.Array,
     GN = (p.k + 1) * p.l * p.N
     assert accw == (p.k + 1) * p.N, (accw, p.k, p.N)
     assert w_step.shape == (GN, sum(plan) * p.N), (w_step.shape, GN, plan)
-    bt = min(block, B)
-    assert B % bt == 0, (B, bt)
+    # Env knob resolved at call time (PEBA1_STEP_BLOCK); a block that does
+    # not divide B degrades to the nearest dividing tile.
+    if block is None:
+        block = int(os.environ.get("PEBA1_STEP_BLOCK", 1024))
+    bt = _fit_block(B, block)
     vmem_limit = int(os.environ.get("PEBA1_VMEM_LIMIT", 100 * 1024 * 1024))
     return pl.pallas_call(
         functools.partial(_cmux_step_kernel, params=p, plan=plan),
@@ -379,8 +396,7 @@ def rotate_decompose(acc_flat: jax.Array, amt: jax.Array, params: TfheParams,
     p = params
     B = acc_flat.shape[0]
     G = (p.k + 1) * p.l
-    bt = min(block, B)
-    assert B % bt == 0, (B, bt)
+    bt = _fit_block(B, block)
     grid = (B // bt,)
     return pl.pallas_call(
         functools.partial(_rot_dec_kernel, params=p),

@@ -264,6 +264,67 @@ def prepare_toeplitz_rhs(q: jax.Array, limbs) -> jax.Array:
     return jnp.concatenate(cols, axis=1)               # (G, C, 2N)
 
 
+def negacyclic_toeplitz_cols(vv: jax.Array, j0: jax.Array, nj: int,
+                             block: int | None = None) -> jax.Array:
+    """Column slice W[.., t, j0:j0+nj] of the negacyclic Toeplitz matrix,
+    with a TRACED start column j0 (static width nj).
+
+    This is the ring-dimension tensor-parallel building block: each tp rank
+    assembles only its [j0, j0+nj) slice of every per-step weight matrix from
+    the small doubled generator (CloudKey.bk_tp stays replicated), so W is
+    never materialized full-width on any one device -- the "polynomial limbs
+    partitioned over the mesh" axis of SURVEY.md section 2.4 (the FFT layer
+    being replaced: /root/reference/CMakeLists.txt:11).
+
+    Same two-stage skew as `negacyclic_toeplitz` (fine shifts then coarse
+    block shifts), but the fine stage uses dynamic_slice with start j0
+    (XLA-legal for traced starts; this path is not used inside Pallas
+    kernels).  vv: (..., 2N) -> (..., N, nj).  Requires 0 <= j0 <= N - nj.
+    """
+    N = vv.shape[-1] // 2
+    if block is None:
+        block = min(128, N)
+    assert N % block == 0 and N % nj == 0, (N, block, nj)
+    U = N // block
+    width = (N - block) + nj
+    j0 = jnp.asarray(j0, jnp.int32)
+    # A[.., t0, i] = vv[.., (block - t0) + j0 + i], i in [0, width)
+    A = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(vv, block - t0 + j0, width, axis=-1)
+        for t0 in range(block)
+    ], axis=-2)  # (..., block, width)
+    # W[.., t1*block + t0, dj] = vv[.., N - t0 - block*t1 + j0 + dj]
+    #                          = A[.., t0, (N - block) - block*t1 + dj]
+    blocks = [
+        jax.lax.slice_in_dim(A, (N - block) - block * t1,
+                             (N - block) - block * t1 + nj, axis=-1)
+        for t1 in range(U)
+    ]
+    W = jnp.stack(blocks, axis=-3)  # (..., U, block, nj)
+    return W.reshape(vv.shape[:-1] + (N, nj))
+
+
+def extprod_toeplitz_cols_i8(digits: jax.Array, vv_limbs: jax.Array, limbs,
+                             j0: jax.Array, nj: int) -> jax.Array:
+    """Column slice [j0, j0+nj) of the external product `extprod_toeplitz_i8`.
+
+    digits: (B, G, N) int8; vv_limbs: (G, C, 2N) int8; j0 traced, nj static.
+    Returns (B, O, nj) int32 == extprod_toeplitz_i8(...)[..., j0:j0+nj]
+    bit-for-bit: the output coefficient axis is embarrassingly column-
+    parallel (each j is an independent dot against the digit rows), so a tp
+    rank computing only its slice and all_gathering matches the replicated
+    product exactly.
+    """
+    B, G, N = digits.shape
+    C = vv_limbs.shape[1]
+    plan = limbs if isinstance(limbs, tuple) else as_limb_plan(limbs, C // limbs)
+    W = negacyclic_toeplitz_cols(vv_limbs, j0, nj)  # (G, C, N_t, nj)
+    W = jnp.moveaxis(W, -2, 1)                      # (G, N_t, C, nj)
+    W = W.reshape(G * N, C * nj)
+    out = jnp.dot(digits.reshape(B, G * N), W, preferred_element_type=jnp.int32)
+    return recombine_plan_i32(out.reshape(B, C, nj), plan)
+
+
 def prepare_w_full(vv_limbs: jax.Array, chunk: int | None = None) -> jax.Array:
     """Materialize the full per-step Toeplitz weight matrices at keygen.
 
@@ -280,9 +341,11 @@ def prepare_w_full(vv_limbs: jax.Array, chunk: int | None = None) -> jax.Array:
     n, G, C, n2 = vv_limbs.shape
     N = n2 // 2
     if chunk is None:
-        chunk = max(1, min(n, 2**27 // max(1, G * C * N * N // n)))
-        # pick a divisor of n near 64 steps
-        chunk = next((c for c in range(min(64, n), 0, -1) if n % c == 0), 1)
+        # Largest divisor of n that is <= 64 steps AND keeps the per-chunk
+        # Toeplitz intermediate (chunk * G * C * N * N int8) within ~1 GB.
+        per_step = G * C * N * N
+        cap = min(64, n, max(1, 2**30 // max(1, per_step)))
+        chunk = next((c for c in range(cap, 0, -1) if n % c == 0), 1)
     assert n % chunk == 0, (n, chunk)
     out = jnp.zeros((n, G * N, C * N), jnp.int8)
 

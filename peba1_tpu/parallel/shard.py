@@ -80,6 +80,196 @@ def sharded_bootstrap(mesh: Mesh, ck: CloudKey, ct: lwe.Lwe, mu) -> lwe.Lwe:
     return lwe.Lwe(a, b)
 
 
+def sharded_bootstrap_ringtp(mesh: Mesh, ck: CloudKey, ct: lwe.Lwe,
+                             mu) -> lwe.Lwe:
+    """Gate bootstrap with the RING DIMENSION tensor-parallel over tp.
+
+    The external product -- where the FLOPs and the weight bytes are -- is
+    partitioned over the output coefficient axis j of Z[X]/(X^N+1): tp rank r
+    assembles only columns [r*N/tp, (r+1)*N/tp) of every per-step negacyclic-
+    Toeplitz weight matrix from the small replicated generator (CloudKey
+    .bk_tp; the O(n*N^2) materialized form is never built full-width on any
+    device), GEMMs the shared digit matrix against its slice, recombines
+    limbs locally, and the per-step delta is joined with one tiled all_gather
+    over ICI.  The accumulator stays replicated inside each tp group (its
+    rotation mixes all coefficients); digits are recomputed per rank (cheap
+    VPU work).  Batch shards over dp as usual; the keyswitch matmul reuses
+    the tp column split of `sharded_bootstrap`.
+
+    Per-rank weight-assembly work, GEMM FLOPs, and W bytes all drop by the
+    tp factor -- this is the scaling story for BASELINE config 4 (N=2048,
+    whose full bk_w is O(n*G*N*C*N) ~ 137 GB: at tp=8 on a v5p slice each
+    rank streams 17 GB, or assembles its slice on the fly as here).
+
+    Bit-identical to the single-device toeplitz path: every output
+    coefficient is an independent integer dot, so partitioning the j axis
+    changes no arithmetic (tests/test_parallel.py asserts equality on the
+    virtual mesh).
+    """
+    from ..ops import decompose as dec
+
+    p = ck.params
+    n_tp = mesh.shape["tp"]
+    if p.N % n_tp != 0:
+        raise ValueError(f"N={p.N} not divisible by tp={n_tp}")
+    nj = p.N // n_tp
+    ks_sharded = shard_keyswitch_table(ck, n_tp)
+    B = ct.shape[0]
+    dp = mesh.shape["dp"]
+    Bl = B // dp
+
+    def local_fn(ct_a, ct_b, bk_tp, ks_cols):
+        j0 = jax.lax.axis_index("tp").astype(jnp.int32) * nj
+        bara = rotate.modswitch_2n(ct_a, p.N)
+        barb = rotate.modswitch_2n(ct_b, p.N)
+        tv = jnp.full((Bl, p.N), jnp.int32(mu))
+        acc = jnp.concatenate(
+            [jnp.zeros((Bl, p.k, p.N), jnp.int32),
+             rotate.negacyclic_rotate(
+                 tv, (2 * p.N - barb) % (2 * p.N))[:, None, :]],
+            axis=1)
+
+        def step(acc, xs):
+            amt, vv_i = xs
+            rot = rotate.negacyclic_rotate(acc, amt[:, None])
+            d = dec.decompose(rot - acc, p)           # (Bl, k+1, N, l)
+            d = jnp.moveaxis(d, -1, -2).reshape(Bl, (p.k + 1) * p.l, p.N)
+            cols = poly.extprod_toeplitz_cols_i8(
+                d, vv_i, p.limb_plan, j0, nj)         # (Bl, k+1, nj)
+            delta = jax.lax.all_gather(cols, "tp", axis=-1, tiled=True)
+            return acc + delta, ()
+
+        acc, _ = jax.lax.scan(step, acc, (bara.T, bk_tp))
+        from .. import tlwe
+        a_ext, b_ext = tlwe.sample_extract(acc)
+        digits = bs.keyswitch_digits(p, a_ext)
+        part = jnp.dot(digits, ks_cols[0], preferred_element_type=jnp.int32)
+        colsk = jax.lax.all_gather(part, "tp", axis=1, tiled=True)
+        colsk = colsk[:, : (p.n + 1) * 4]
+        acc32 = poly.recombine_limbs_i32(colsk.reshape(-1, p.n + 1, 4), 4)
+        return -acc32[:, : p.n], b_ext - acc32[:, p.n]
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P(), P("tp")),
+        out_specs=(P("dp"), P("dp")),
+        check_vma=False,
+    )
+    a, b = fn(ct.a, ct.b, ck.bk_tp, ks_sharded)
+    return lwe.Lwe(a, b)
+
+
+def _tree_sum_local_then_global(be, words: lwe.Lwe, width: int) -> lwe.Lwe:
+    """Local log-depth bootstrapped adder tree over this shard's slots, then
+    one tiled all_gather of the tp partial words over ICI and a replicated
+    finish.  Runs INSIDE a shard_map body with the slot axis (-2) sharded
+    over 'tp'.  For power-of-two slots-per-shard and tp the overall addition
+    tree is IDENTICAL to the single-device circuits.tree_sum, so outputs are
+    bit-equal (mod-2^W associativity is not even needed)."""
+    from .. import circuits as cc
+
+    part = cc.tree_sum(be, words, width)              # word (..., W)
+    # Gather the tp partial words into a new slot-like axis just before the
+    # bit axis: word (..., tp, W).
+    ga = jax.lax.all_gather(part.a, "tp", axis=part.a.ndim - 2)
+    gb = jax.lax.all_gather(part.b, "tp", axis=part.b.ndim - 1)
+    return cc.tree_sum(be, lwe.Lwe(ga, gb), width)
+
+
+def _check_tp_slots(nslots: int, n_tp: int, op: str) -> None:
+    if nslots % n_tp != 0:
+        raise ValueError(f"{op}: nslots={nslots} not divisible by tp={n_tp}")
+    local_slots = nslots // n_tp
+    if local_slots & (local_slots - 1) or n_tp & (n_tp - 1):
+        raise ValueError(
+            f"{op} needs power-of-two slots per shard and tp "
+            f"(got {local_slots} x {n_tp}) for tree-equality with tree_sum")
+
+
+def sharded_tree_sum(mesh: Mesh, ck: CloudKey, words_ct: lwe.Lwe,
+                     width: int) -> lwe.Lwe:
+    """Encrypted slot-sum reduction partitioned over the mesh's tp axis.
+
+    SURVEY.md section 2.4's "reduction parallelism" row: the reference's
+    serial slot accumulation (/root/reference/src/Math.cpp:315-321,351-361)
+    becomes a per-rank log-depth bootstrapped adder tree over nslots/tp
+    slots, an all_gather of the tp partial-sum words (a few encrypted bits
+    each) over ICI, and a replicated finish -- the distance-sum bootstraps
+    divide by tp.  Bit-equal to single-device circuits.tree_sum for
+    power-of-two shard sizes (identical addition tree).
+
+    words_ct: (..., nslots, W) bit-words, slot axis sharded over tp, leading
+    axes over dp.  Returns (..., W), dp-sharded, replicated over tp.
+    """
+    from ..backends import CipherBackend
+
+    _check_tp_slots(words_ct.shape[-2], mesh.shape["tp"], "sharded_tree_sum")
+    lead = len(words_ct.shape) - 2  # leading batch axes ahead of (slots, W)
+    spec_in = P(*(("dp",) + (None,) * (lead - 1) + ("tp",))) if lead \
+        else P("tp")
+    spec_out = P("dp") if lead else P()
+
+    def local_fn(ck_, w_a, w_b):
+        be = CipherBackend(ck_)
+        out = _tree_sum_local_then_global(be, lwe.Lwe(w_a, w_b), width)
+        return out.a, out.b
+
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), spec_in, spec_in),
+        out_specs=(spec_out, spec_out),
+        check_vma=False,
+    )
+    a, b = fn(ck, words_ct.a, words_ct.b)
+    return lwe.Lwe(a, b)
+
+
+def sharded_euclidean(mesh: Mesh, ck: CloudKey, probe_ct: lwe.Lwe,
+                      templates_ct: lwe.Lwe, bitsize: int,
+                      max_bitsize: int) -> lwe.Lwe:
+    """Encrypted squared-Euclidean distance with the SLOT REDUCTION
+    partitioned over the mesh's tp axis (batch over dp as usual).
+
+    Per (dp, tp) cell: |b_i - a_i| + squaring on its nslots/tp slots, then
+    the `sharded_tree_sum` mechanism (local tree + gathered finish).
+    Bit-equal to circuits.euclidean for power-of-two shard sizes.
+
+    probe_ct: (nslots, bitsize) bit-word, slot axis sharded over tp;
+    templates_ct: (M, nslots, bitsize), M over dp.  Returns
+    (M, max_bitsize), dp-sharded.
+    """
+    from .. import circuits as cc
+    from ..backends import CipherBackend
+
+    _check_tp_slots(templates_ct.shape[-2], mesh.shape["tp"],
+                    "sharded_euclidean")
+
+    def local_fn(ck_, t_a, t_b, p_a, p_b):
+        be = CipherBackend(ck_)
+        m = t_a.shape[0]
+        probe_b = lwe.Lwe(jnp.broadcast_to(p_a, (m,) + p_a.shape),
+                          jnp.broadcast_to(p_b, (m,) + p_b.shape))
+        b = lwe.Lwe(t_a, t_b)
+        diffs = cc.sub_abs(be, b, probe_b, bitsize)   # local slots only
+        sq = cc.multiply(be, diffs[..., :bitsize], diffs[..., :bitsize],
+                         bitsize, length=max_bitsize - 1)
+        total = _tree_sum_local_then_global(be, sq, max_bitsize - 1)
+        zero = be.CONSTANT(0, total[..., 0].shape + (1,))
+        out = be.concat([total, zero], axis=-1)
+        return out.a, out.b
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P("dp", "tp"), P("dp", "tp"), P("tp"), P("tp")),
+        out_specs=(P("dp"), P("dp")),
+        check_vma=False,
+    )
+    a, b = fn(ck, templates_ct.a, templates_ct.b, probe_ct.a, probe_ct.b)
+    return lwe.Lwe(a, b)
+
+
 def sharded_identify(mesh: Mesh, ck: CloudKey, probe_ct: lwe.Lwe,
                      templates_ct: lwe.Lwe, enc_bound: lwe.Lwe,
                      bitsize: int) -> lwe.Lwe:

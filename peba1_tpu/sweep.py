@@ -43,6 +43,11 @@ class SweepPlan:
     n_templates: int
     chunk: int
     fingerprint: str
+    # Manifest schema version.  1 = original fingerprint (probe/bound/geometry
+    # only); 2 = template database bound into the fingerprint.  Bump whenever
+    # the fingerprint recipe changes so resume can distinguish "different
+    # sweep" from "same sweep, older fingerprint format".
+    schema: int = 2
 
     @property
     def n_chunks(self) -> int:
@@ -149,6 +154,15 @@ class IdentifySweep:
         prev = self._load_manifest()
         if prev is not None and prev != dataclasses.asdict(plan):
             if resume:
+                if prev.get("schema", 1) != plan.schema:
+                    raise ValueError(
+                        f"checkpoint dir {self.out_dir} was written with "
+                        f"manifest schema v{prev.get('schema', 1)} (this "
+                        f"version uses v{plan.schema}: the fingerprint now "
+                        "binds the template database).  The directory is not "
+                        "corrupt, but its chunks cannot be verified against "
+                        "the new fingerprint -- recompute in a fresh "
+                        "directory or pass resume=False to overwrite")
                 raise ValueError(
                     f"checkpoint dir {self.out_dir} holds a different sweep "
                     f"({prev} != {dataclasses.asdict(plan)}); pass resume=False "

@@ -41,7 +41,10 @@ class EventLog:
         rec = {"ts": round(time.time(), 6), "event": event, **self._context, **fields}
         line = json.dumps(rec, default=_jsonable)
         for out in (self._stream, self._file):
-            if out is not None:
+            # A parent may close the shared file handle while children still
+            # hold it; logging through a closed sink degrades to a no-op
+            # rather than raising inside the caller's (often `finally`) path.
+            if out is not None and not getattr(out, "closed", False):
                 out.write(line + "\n")
                 out.flush()
         return rec

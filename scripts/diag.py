@@ -192,12 +192,26 @@ def mode_campaign(args):
     sk, ck, dt = _keygen(P)
     print(f"keygen {dt:.0f}s", flush=True)
     B, S = args.batch, args.steps
+    # One giant S-step dispatch is a multi-minute single XLA execution --
+    # long enough to trip the TPU runtime / relay watchdog (observed worker
+    # crash at S=1280).  Chain in chunk_steps-sized dispatches instead,
+    # syncing every few chunks so the async queue stays shallow.
+    cs = min(args.chunk_steps, S)
+    n_chunks = -(-S // cs)
+    S = n_chunks * cs
     rng = np.random.default_rng(1)
     bits = rng.integers(0, 2, B)
-    fn = jax.jit(functools.partial(_chain, steps=S))
+    fn = jax.jit(functools.partial(_chain, steps=cs))
     ct = gates.encrypt_bits(jax.random.PRNGKey(321), sk, jnp.asarray(bits))
     t0 = time.time()
-    a, b = fn(ck, ct.a, ct.b)
+    a, b = ct.a, ct.b
+    for i in range(n_chunks):
+        a, b = fn(ck, a, b)
+        if (i + 1) % 4 == 0 or i == n_chunks - 1:
+            np.asarray(b[:1])  # host fetch = real barrier
+            print(f"  chunk {i + 1}/{n_chunks} "
+                  f"({(i + 1) * cs * B / 1e6:.1f}M gates, "
+                  f"{time.time() - t0:.0f}s)", flush=True)
     a = np.asarray(a)
     b = np.asarray(b)
     dt = time.time() - t0
@@ -302,6 +316,8 @@ def main():
     cp.add_argument("--params", default="peba1_128_fast", choices=sorted(PRESETS))
     cp.add_argument("--batch", type=int, default=8192)
     cp.add_argument("--steps", type=int, default=128)
+    cp.add_argument("--chunk-steps", type=int, default=16,
+                    help="bootstraps per dispatch (watchdog-safe chunking)")
     cp.add_argument("--out", default=None)
     r = sub.add_parser("relay")
     r.add_argument("--batch", type=int, default=4096)

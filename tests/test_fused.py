@@ -19,7 +19,7 @@ def _plain(base):
     """The fully-XLA reference configuration (no Pallas anywhere)."""
     return dataclasses.replace(
         base, use_fused_cmux=False, use_pallas_rotate=False,
-        use_pallas_extprod=False)
+        use_pallas_extprod=False, use_fused_step=False)
 
 
 @pytest.mark.parametrize("base", [TOY, TOY_FAST, TOY_T2],

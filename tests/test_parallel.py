@@ -40,6 +40,90 @@ def test_sharded_bootstrap_dp_only(toy_keys):
     np.testing.assert_array_equal(np.asarray(got.b), np.asarray(want.b))
 
 
+def test_toeplitz_cols_matches_full():
+    """Unit: the traced-start column slice == columns of the full Toeplitz."""
+    from peba1_tpu.ops import poly
+
+    rng = np.random.default_rng(3)
+    N = 128
+    q = jnp.asarray(rng.integers(-(2**31), 2**31, (2, 3, N), dtype=np.int64)
+                    .astype(np.int32))
+    vv = poly.prepare_toeplitz_rhs(q, 4)          # (G, C, 2N) int8
+    full = poly.negacyclic_toeplitz(vv)           # (G, C, N, N)
+    for nj in (32, 128):
+        for j0 in sorted({0, min(32, N - nj), N - nj}):
+            cols = poly.negacyclic_toeplitz_cols(vv, jnp.int32(j0), nj)
+            np.testing.assert_array_equal(
+                np.asarray(cols), np.asarray(full[..., j0:j0 + nj]))
+
+
+def test_extprod_cols_matches_full():
+    from peba1_tpu.ops import poly
+    from peba1_tpu.params import TOY
+
+    p = TOY
+    sk, ck = None, None  # keys not needed: random generator directly
+    rng = np.random.default_rng(4)
+    G = (p.k + 1) * p.l
+    q = jnp.asarray(rng.integers(-(2**31), 2**31, (G, p.k + 1, p.N),
+                                 dtype=np.int64).astype(np.int32))
+    vv = poly.prepare_toeplitz_rhs(q, p.limb_plan)
+    d = jnp.asarray(rng.integers(-p.half_bg, p.half_bg, (8, G, p.N)), jnp.int8)
+    want = poly.extprod_toeplitz_i8(d, vv, p.limb_plan)
+    nj = p.N // 4
+    parts = [poly.extprod_toeplitz_cols_i8(d, vv, p.limb_plan,
+                                           jnp.int32(r * nj), nj)
+             for r in range(4)]
+    got = jnp.concatenate(parts, axis=-1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_ringtp_bootstrap_equals_single(toy_keys):
+    """Ring-dimension TP (per-step W columns sharded over tp, delta
+    all_gathered) == single-device bootstrap, bit-exact."""
+    import dataclasses
+
+    sk, ck = toy_keys
+    # Force the plain toeplitz path on the single-device side (same math).
+    m = pmesh.make_mesh(n_dp=2, n_tp=4)
+    B = 8
+    bits = jnp.arange(B) % 2
+    ct = gates.encrypt_bits(jax.random.PRNGKey(6), sk, bits)
+    want = bs.bootstrap(ck, ct, jnp.int32(gates.MU_1_8))
+    got = pshard.sharded_bootstrap_ringtp(m, ck, ct, jnp.int32(gates.MU_1_8))
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(want.a))
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(want.b))
+    np.testing.assert_array_equal(
+        np.asarray(gates.decrypt_bits(got, sk)), np.asarray(bits))
+
+
+def test_sharded_tree_sum_equals_single(toy_keys):
+    """Slot-sum reduction over the mesh (local bootstrapped adder trees +
+    gathered finish) == single-device circuits.tree_sum, bit-exact -- the
+    mechanism behind sharded_euclidean (compare the sharded-argmin pattern:
+    the full distance pipeline in one shard_map program is minutes of XLA
+    CPU compile on the virtual mesh, the mechanism is seconds)."""
+    from peba1_tpu import circuits as cc
+    from peba1_tpu.backends import CipherBackend
+    from peba1_tpu.utils.bits import bits_to_int, int_to_bits
+
+    sk, ck = toy_keys
+    nslots, W = 8, 4
+    rng = np.random.default_rng(12)
+    vals = rng.integers(0, 1 << (W - 1), (2, nslots))
+    words = gates.encrypt_bits(jax.random.PRNGKey(8), sk, int_to_bits(vals, W))
+
+    be = CipherBackend(ck)
+    want = cc.tree_sum(be, words, width=W)
+
+    m = pmesh.make_mesh(n_dp=2, n_tp=4)
+    got = pshard.sharded_tree_sum(m, ck, words, width=W)
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(want.a))
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(want.b))
+    d = bits_to_int(np.asarray(gates.decrypt_bits(got, sk)))
+    np.testing.assert_array_equal(d, vals.sum(1) % (1 << W))
+
+
 def _enc_protocol_inputs(sk, n_templates=8, nslots=2, bitsize=3, seed=7):
     """Tiny encrypted 1:N instance: (probe, templates, bound, plain values)."""
     from peba1_tpu import circuits as cc
