@@ -185,20 +185,39 @@ def run(params_name: str = "toy", nslots: int = 128, bitsize: int = 8,
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description="PEBA1-on-TPU reference-style driver")
-    ap.add_argument("--params", default="toy", choices=sorted(PRESETS))
-    ap.add_argument("--nslots", type=int, default=8)
-    ap.add_argument("--bitsize", type=int, default=4)
+    # Defaults mirror the reference binary's constants: lambda=128 params
+    # (src/main.cpp:20-21), nslots=128, bitsize=8 (src/main.cpp:30-32).
+    # For a quick CPU smoke run use --params toy --nslots 8 --bitsize 4.
+    ap.add_argument("--params", default="peba1_128_t2", choices=sorted(PRESETS))
+    ap.add_argument("--nslots", type=int, default=128)
+    ap.add_argument("--bitsize", type=int, default=8)
     ap.add_argument("--loop", type=int, default=128)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--skip-cipher-suite", action="store_true")
+    ap.add_argument("--out", default=None,
+                    help="write the results dict as a JSON artifact")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force a JAX backend (this machine's sitecustomize "
                          "pins jax_platforms, so env vars are ignored)")
     args = ap.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    run(args.params, args.nslots, args.bitsize, args.loop, args.seed,
-        args.skip_cipher_suite)
+    import os
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("PEBA1_CACHE", "/root/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    results = run(args.params, args.nslots, args.bitsize, args.loop, args.seed,
+                  args.skip_cipher_suite)
+    if args.out:
+        import json
+
+        results["params"] = args.params
+        results["nslots"] = args.nslots
+        results["bitsize"] = args.bitsize
+        results["device"] = str(jax.devices()[0])
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1, default=float)
 
 
 if __name__ == "__main__":

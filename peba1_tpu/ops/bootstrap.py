@@ -75,11 +75,25 @@ def blind_rotate(ck: CloudKey, bara: jax.Array, barb: jax.Array, mu) -> jax.Arra
         interp = jax.devices()[0].platform != "tpu"
 
     if p.use_fused_step:
-        def fstep(acc_flat, xs):
-            amt, w_i = xs
-            return pk.cmux_step(acc_flat, amt, w_i, p, interpret=interp), ()
-        acc_flat, _ = jax.lax.scan(
-            fstep, acc.reshape(B, -1), (bara.T, ck.bk_w))
+        G = (p.k + 1) * p.l
+        C = sum(p.limb_plan)
+        if p.w_streaming:
+            # Assemble this step's full Toeplitz weights in-graph from the
+            # small generator (exactly prepare_w_full's per-step layout)
+            # instead of streaming the precomputed bk_w: ~2 extra HBM passes
+            # over W per step, no O(n*N^2) key.
+            def fstep(acc_flat, xs):
+                amt, vv_i = xs                       # vv_i: (G, C, 2N) int8
+                w = poly.negacyclic_toeplitz(vv_i)   # (G, C, N_t, N_j)
+                w = jnp.moveaxis(w, 2, 1).reshape(G * p.N, C * p.N)
+                return pk.cmux_step(acc_flat, amt, w, p, interpret=interp), ()
+            xs = (bara.T, ck.bk_tp)
+        else:
+            def fstep(acc_flat, xs):
+                amt, w_i = xs
+                return pk.cmux_step(acc_flat, amt, w_i, p, interpret=interp), ()
+            xs = (bara.T, ck.bk_w)
+        acc_flat, _ = jax.lax.scan(fstep, acc.reshape(B, -1), xs)
         return acc_flat.reshape(B, p.k + 1, p.N)
 
     def step(acc, xs):

@@ -317,6 +317,56 @@ def sharded_identify(mesh: Mesh, ck: CloudKey, probe_ct: lwe.Lwe,
     return lwe.Lwe(a, b)
 
 
+def shard_lwe(mesh: Mesh, ct: lwe.Lwe, spec: P) -> lwe.Lwe:
+    """Place an Lwe pytree on the mesh: `spec` applies to the batch dims (the
+    body's shape); the mask's extra trailing dim stays unsharded."""
+    a_spec = P(*(tuple(spec) + (None,)))
+    return lwe.Lwe(
+        jax.device_put(ct.a, NamedSharding(mesh, a_spec)),
+        jax.device_put(ct.b, NamedSharding(mesh, spec)),
+    )
+
+
+def replicate_lwe(mesh: Mesh, ct: lwe.Lwe) -> lwe.Lwe:
+    return lwe.Lwe(
+        jax.device_put(ct.a, NamedSharding(mesh, P())),
+        jax.device_put(ct.b, NamedSharding(mesh, P())),
+    )
+
+
+def gspmd_identify(mesh: Mesh, server, probe_ct: lwe.Lwe,
+                   templates_ct: lwe.Lwe, enc_bound: lwe.Lwe) -> lwe.Lwe:
+    """1:N identification via GSPMD sharding annotations: the template
+    database is placed dp-sharded, probe/bound replicated, and the NORMAL
+    per-level protocol circuit runs on the annotated arrays -- XLA partitions
+    every bootstrap launch over the mesh (the gate math is batch-elementwise,
+    so the per-level SPMD programs carry no collectives) and the results come
+    back dp-sharded.
+
+    This is the scaling-book recipe ("pick a mesh, annotate shardings, let
+    XLA insert collectives") applied to the protocol, and the counterpart of
+    `sharded_identify`: same math, per-level compiles (seconds each, shape-
+    cached) instead of one whole-circuit program (minutes of XLA compile) --
+    the form the virtual-CPU-mesh CI and the multichip dryrun can afford to
+    run end-to-end.  Bit-equality with the single-device path is structural:
+    the traced program per level is identical, only the layout differs.
+    """
+    t = shard_lwe(mesh, templates_ct, P("dp"))
+    pr = replicate_lwe(mesh, probe_ct)
+    bd = replicate_lwe(mesh, enc_bound)
+    return server.identify(pr, t, bd)
+
+
+def gspmd_identify_argmin(mesh: Mesh, server, probe_ct: lwe.Lwe,
+                          templates_ct: lwe.Lwe):
+    """Tournament argmin with GSPMD-annotated inputs (see gspmd_identify).
+    The tournament's cross-shard rounds make XLA insert the collectives the
+    hand-written version does explicitly."""
+    t = shard_lwe(mesh, templates_ct, P("dp"))
+    pr = replicate_lwe(mesh, probe_ct)
+    return server.identify_argmin(pr, t)
+
+
 def _argmin_local_then_global(be, vals: lwe.Lwe, idxs: lwe.Lwe):
     """Per-shard bootstrapped tournament + ICI finalist gather + replicated
     finish.  Runs INSIDE a shard_map body over the 'dp' axis.  For

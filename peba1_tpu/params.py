@@ -82,9 +82,17 @@ class TfheParams:
     # One whole CMUX step (rotate + decompose + GEMM + recombine +
     # accumulate) as a single Pallas kernel with the accumulator aliased
     # in place (ops/pallas_kernels.cmux_step): neither the digit matrix nor
-    # the recombined delta ever leaves VMEM.  Also requires bk_w.
-    # Supersedes use_pallas_rotate/use_pallas_extprod when set.
+    # the recombined delta ever leaves VMEM.  Requires bk_w unless
+    # w_streaming is set.  Supersedes use_pallas_rotate/use_pallas_extprod.
     use_fused_step: bool = False
+    # Assemble each step's Toeplitz weight matrix IN-GRAPH from the small
+    # (n, G, C, 2N) generator instead of precomputing the O(n*G*N*C*N) bk_w
+    # at keygen: trades ~2 extra HBM passes over one step's W (build-write +
+    # GEMM-read, amortized against the GEMM FLOPs) for an n*N^2-factor
+    # smaller key.  This is what makes the fused-step kernel usable where
+    # bk_w cannot exist: 18.5 GB at the k=1 lambda=128 set, ~137 GB at
+    # RING_2048 (BASELINE config 4).  Only meaningful with use_fused_step.
+    w_streaming: bool = False
     # Fine-shift block K of the precomputed A-matrix (ops/poly.prepare_amat):
     # per-step storage is C*G*K*(N + (N/K - 1)*K) int8, and each of the C
     # limb columns needs N/K MXU dots whose int32 outputs are VPU-summed --

@@ -66,6 +66,20 @@ CONFIGS = {
     "t2_fused": dataclasses.replace(
         PRESETS["peba1_128_t2"], use_fused_step=False,
         use_pallas_rotate=False, use_fused_cmux=True),
+    # Streaming-W fused step: per-step Toeplitz assembled in-graph, no
+    # O(n*N^2) bk_w key.  The k=1 lambda=128 family's only fused-step
+    # option (bk_w would be 18.5 GB), and a 10.9-GB-smaller-key alternative
+    # for the t2 production set.
+    "fast_stream": dataclasses.replace(
+        PRESETS["peba1_128_fast"], use_fused_step=True, w_streaming=True),
+    "t2_stream": dataclasses.replace(
+        PRESETS["peba1_128_t2"], w_streaming=True),
+    # BASELINE config 4: the N=2048 ring.  bk_w cannot exist (~137 GB) and
+    # one step's W (134 MB) exceeds VMEM, so the candidates are the XLA
+    # GEMM paths (W materialized per step in-graph).
+    "n2048": PRESETS["ring_2048"],
+    "n2048_rot": dataclasses.replace(
+        PRESETS["ring_2048"], use_pallas_rotate=True),
 }
 
 
@@ -89,8 +103,13 @@ def _chain(ck, a, b, *, steps):
 
 # ---------------------------------------------------------------- throughput
 def mode_throughput(args):
+    """Honest bs/s per config: two chain lengths on fresh inputs, delta
+    timing, and bench.py-grade discipline -- each length timed `reps` times
+    (fresh inputs each) taking the MIN (the jitter is all positive: relay
+    fetch latency + host noise)."""
     B = args.batch
     S1, S2 = 1, 4
+    rows = []
     for name in (args.configs or list(CONFIGS)):
         P = CONFIGS[name] if name in CONFIGS else PRESETS[name]
         sk, ck, dt = _keygen(P)
@@ -108,14 +127,17 @@ def mode_throughput(args):
             np.asarray(out[1][:8])
             print(f"[{name}] steps={s} cold(compile+exec) {time.time()-t0:.0f}s",
                   flush=True)
-            # timed run on FRESH inputs
-            ct = gates.encrypt_bits(jax.random.PRNGKey(enc_seed), sk, bits)
-            enc_seed += 1
-            np.asarray(ct.b[:4])
-            t0 = time.time()
-            out = fns[s](ck, ct.a, ct.b)
-            np.asarray(out[1][:8])
-            ts[s] = time.time() - t0
+            # timed runs on FRESH inputs each; min over reps
+            best = float("inf")
+            for r in range(args.reps):
+                ct = gates.encrypt_bits(jax.random.PRNGKey(enc_seed), sk, bits)
+                enc_seed += 1
+                np.asarray(ct.b[:4])
+                t0 = time.time()
+                out = fns[s](ck, ct.a, ct.b)
+                np.asarray(out[1][:8])
+                best = min(best, time.time() - t0)
+            ts[s] = best
             if s == S2:
                 got = np.asarray(lwe.decrypt_bit(lwe.Lwe(out[0], out[1]), sk.lwe_key))
                 ok = (got == np.asarray(bits)).mean()
@@ -123,6 +145,16 @@ def mode_throughput(args):
         print(f"[{name}] t1={ts[S1]:.2f}s t{S2}={ts[S2]:.2f}s -> "
               f"{dt*1e3:.0f} ms/bootstrap-batch = {B/dt:,.0f} bs/s  "
               f"(chain-correct {ok*100:.2f}%)", flush=True)
+        rows.append({"config": name, "t_s1": round(ts[S1], 3),
+                     "t_s2": round(ts[S2], 3),
+                     "bootstraps_per_s": round(B / dt, 1),
+                     "chain_correct_frac": float(ok)})
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"metric": "throughput_lever_matrix", "batch": B,
+                       "chain_lengths": [S1, S2], "reps": args.reps,
+                       "rows": rows, "device": str(jax.devices()[0])}, f,
+                      indent=1)
 
 
 # --------------------------------------------------------------------- noise
@@ -310,6 +342,9 @@ def main():
     t.add_argument("configs", nargs="*", choices=[[], *CONFIGS],
                    metavar="config")
     t.add_argument("--batch", type=int, default=int(os.environ.get("B", 8192)))
+    t.add_argument("--reps", type=int, default=3,
+                   help="timed repetitions per chain length (min taken)")
+    t.add_argument("--out", default=None, help="write the lever-matrix JSON")
     n = sub.add_parser("noise")
     n.add_argument("--batch", type=int, default=int(os.environ.get("B", 4096)))
     cp = sub.add_parser("campaign")

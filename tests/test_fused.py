@@ -81,6 +81,29 @@ def test_fused_step_bootstrap_matches_scan(base):
 
 @pytest.mark.parametrize("base", [TOY, TOY_FAST, TOY_T2],
                          ids=["toy", "toy_fast", "toy_t2"])
+def test_streamed_fused_step_matches_scan(base):
+    """use_fused_step + w_streaming (per-step W assembled in-graph, no bk_w)
+    == plain XLA path.  This is the RING_2048 / large-N configuration where
+    the precomputed bk_w cannot exist."""
+    p = dataclasses.replace(base, use_fused_cmux=False,
+                            use_pallas_rotate=False, use_pallas_extprod=False,
+                            use_fused_step=True, w_streaming=True)
+    sk, ck = keys.keygen(jax.random.PRNGKey(0), p)
+    assert ck.bk_w is None  # streaming: the O(n*N^2) key is never built
+    bits = jnp.arange(64) % 2
+    ct = gates.encrypt_bits(jax.random.PRNGKey(1), sk, bits)
+    pre = lwe.Lwe(ct.a * 2, ct.b * 2 + jnp.int32(-gates.MU_1_8))
+    ref = bs.bootstrap(ck.replace(params=_plain(base)), pre,
+                       jnp.int32(gates.MU_1_8))
+    out = bs.bootstrap(ck, pre, jnp.int32(gates.MU_1_8))
+    np.testing.assert_array_equal(np.asarray(ref.a), np.asarray(out.a))
+    np.testing.assert_array_equal(np.asarray(ref.b), np.asarray(out.b))
+    got = np.asarray(lwe.decrypt_bit(out, sk.lwe_key))
+    np.testing.assert_array_equal(got, np.asarray(bits))
+
+
+@pytest.mark.parametrize("base", [TOY, TOY_FAST, TOY_T2],
+                         ids=["toy", "toy_fast", "toy_t2"])
 def test_pallas_extprod_bootstrap_matches_scan(base):
     """End-to-end: bootstrap with use_pallas_extprod == plain XLA path."""
     p = dataclasses.replace(base, use_fused_cmux=False,
