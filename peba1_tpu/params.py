@@ -255,10 +255,23 @@ TOY_T2 = dataclasses.replace(
     TOY, k=2, N=128, l=2, bgbit=8, bk_body_limbs=3,
     use_pallas_rotate=True, use_fused_step=True)
 
+# Streaming-W variants: the fused-step CMUX kernel with each step's Toeplitz
+# weights assembled in-graph from the small generator instead of the
+# precomputed O(n*N^2) bk_w key (TfheParams.w_streaming).  Same math, a
+# ~10.9-GB-smaller cloud key on the t2 set -- the right choice when the
+# protocol working set (large ciphertext batches, 1:N template databases)
+# must share HBM with the key -- and the ONLY fused-step option for the k=1
+# lambda=128 family (its bk_w would be 18.5 GB).
+PEBA1_128_T2_STREAM = dataclasses.replace(PEBA1_128_T2, w_streaming=True)
+PEBA1_128_FAST_STREAM = dataclasses.replace(
+    PEBA1_128_FAST, use_fused_step=True, w_streaming=True)
+
 PRESETS = {
     "peba1_128": PEBA1_128,
     "peba1_128_fast": PEBA1_128_FAST,
+    "peba1_128_fast_stream": PEBA1_128_FAST_STREAM,
     "peba1_128_t2": PEBA1_128_T2,
+    "peba1_128_t2_stream": PEBA1_128_T2_STREAM,
     "ring_2048": RING_2048,
     "toy": TOY,
     "toy_fast": TOY_FAST,
