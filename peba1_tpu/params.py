@@ -234,9 +234,13 @@ TOY_FAST = dataclasses.replace(
 # MACs scale as (k+1)*l*N x (k*mask_limbs + body_limbs)*N = 3072 x 5632 per
 # step, 0.59x of the k=1 set's 4096 x 7168, and the per-step barrel rotation
 # touches (k+1)*N = 1536 int32 lanes over log2(2N) = 10 stages (0.68x).  The
-# price is modswitch rounding to Z_{2N} with N=512: phase-error stdev
-# sqrt(n/12)/(2N) = 0.0070 vs 0.0035, total sigma ~0.009 against the 1/16
-# margin (~7 sigma; measured on-chip via scripts/diag.py noise).
+# price is modswitch rounding to Z_{2N} with N=512 (a-priori per-coefficient
+# stdev sqrt(n/12)/(2N) = 0.0070 vs 0.0035 at N=1024).  The MEASURED
+# steady-state chained-gate phase error is smaller than that estimate:
+# sigma = 0.0051 against the 1/16 margin = 12.2 sigma, 0 errors and 0 chain
+# corruptions in 1.05e7 chained gates, Gaussian per-gate bound 3e-34
+# (NOISE_r03_t2.json -- the committed on-chip campaign artifact,
+# scripts/diag.py campaign).
 #
 # Kernel choice (measured on v5e, B=8192, scripts/diag.py throughput):
 #   plain XLA GEMM + Pallas rotate (t2_xla)             8,106 bs/s

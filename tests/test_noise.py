@@ -66,8 +66,10 @@ def test_committed_noise_campaign_artifacts():
 
     root = os.path.join(os.path.dirname(__file__), "..")
     paths = sorted(glob.glob(os.path.join(root, "NOISE_*.json")))
-    if not paths:
-        pytest.skip("no committed campaign artifact yet")
+    # Hard requirement (VERDICT r2): the campaign evidence must exist -- a
+    # pin test that skips when the artifact is missing pins nothing.
+    assert paths, ("no committed NOISE_*.json campaign artifact; run "
+                   "scripts/diag.py campaign --out NOISE_<round>_<params>.json")
     for path in paths:
         with open(path) as f:
             rec = json.load(f)
