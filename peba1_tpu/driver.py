@@ -49,8 +49,13 @@ def run(params_name: str = "toy", nslots: int = 128, bitsize: int = 8,
     # --- key/param setup (src/main.cpp:20-23) ---------------------------
     key = jax.random.PRNGKey(seed)
     k_gen, k_enc, k_auth = jax.random.split(key, 3)
-    sk, ck = keys.keygen(k_gen, tfhe)
-    jax.block_until_ready(ck.ks_table_limbs)
+    # Jitted keygen, like every other harness: eager execution of the big
+    # precomputed key forms (bk_w is ~10.9 GB at peba1_128_t2) keeps async
+    # intermediates alive past the point later allocations need the HBM --
+    # observed as RESOURCE_EXHAUSTED at full width.  XLA plans buffer reuse.
+    sk, ck = jax.jit(keys.keygen, static_argnames=("params",))(
+        k_gen, params=tfhe)
+    jax.block_until_ready(ck)
     print(f"[keys] generated ({params_name}) in {tm.lap():.1f}s")
 
     # --- test vectors (src/main.cpp:30-42) ------------------------------

@@ -99,7 +99,11 @@ def main(argv=None):
     def run_identify(m, n, seed):
         nt = args.per_device_templates * n
         hi = (1 << args.bitsize) - 1
-        tmpl = rng.integers(0, hi, (nt, args.nslots))
+        # Nonzero slot values only: a zero operand triggers the faithful
+        # sub_abs forced-sign quirk and the naive plaintext expectation
+        # below would not apply (same domain as __graft_entry__.dryrun and
+        # tests/test_parallel.py).
+        tmpl = rng.integers(1, hi, (nt, args.nslots))
         probe = tmpl[nt // 2]
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
         t_ct = gates.encrypt_bits(k1, sk, int_to_bits(tmpl, args.bitsize))
@@ -118,6 +122,24 @@ def main(argv=None):
         assert (got == want).all(), f"wrong verdicts at n={n}"
         return dt
 
+    def make_record():
+        base = times[min(times)]
+        return {
+            "metric": f"weak_scaling_efficiency_{args.mode}",
+            "unit": "t1/tn (1.0 = ideal)",
+            "mode": args.mode,
+            "per_device_batch": args.per_device_batch,
+            "per_device_templates": args.per_device_templates,
+            "params": args.params,
+            "reps": args.reps,
+            "times_s": {str(k): round(v, 4) for k, v in times.items()},
+            "efficiency": {str(k): round(base / v, 4) for k, v in times.items()},
+            "virtual_cpu_mesh": bool(args.virtual_devices),
+            "caveat": ("virtual CPU mesh: times include host-core contention, "
+                       "not interconnect" if args.virtual_devices else None),
+            "device": str(jax.devices()[0]),
+        }
+
     run = {"bootstrap": run_bootstrap, "identify": run_identify}[args.mode]
     for n in sizes:
         if n * args.n_tp > len(devices):
@@ -129,23 +151,13 @@ def main(argv=None):
         times[n] = best
         print(f"n={n}: {best:.3f}s (min of {args.reps})",
               file=sys.stderr, flush=True)
+        # Incremental artifact: a timeout/crash mid-sweep keeps the sizes
+        # measured so far (identify mode is hours on the 2-core virtual mesh).
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(make_record(), f, indent=1)
 
-    base = times[min(times)]
-    rec = {
-        "metric": f"weak_scaling_efficiency_{args.mode}",
-        "unit": "t1/tn (1.0 = ideal)",
-        "mode": args.mode,
-        "per_device_batch": args.per_device_batch,
-        "per_device_templates": args.per_device_templates,
-        "params": args.params,
-        "reps": args.reps,
-        "times_s": {str(k): round(v, 4) for k, v in times.items()},
-        "efficiency": {str(k): round(base / v, 4) for k, v in times.items()},
-        "virtual_cpu_mesh": bool(args.virtual_devices),
-        "caveat": ("virtual CPU mesh: times include host-core contention, "
-                   "not interconnect" if args.virtual_devices else None),
-        "device": str(jax.devices()[0]),
-    }
+    rec = make_record()
     print(json.dumps(rec))
     if args.out:
         with open(args.out, "w") as f:
