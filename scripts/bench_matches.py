@@ -24,6 +24,13 @@ Full-scale config 2 (--pairs 256 --nslots 128 --bitsize 8) is ~5.6e7 gate
 bootstraps; budget ~0.5-2 h on one v5e chip.  Scaled runs measure the same
 code path; gates/match scales ~linearly in nslots, so matches/s at full
 scale = measured_bootstraps_per_s / gates_per_full_match.
+
+Memory envelope (measured): at full width the encrypted intermediate words
+of the batched Euclidean distance are ~(pairs*nslots) x width x (n+1) int32
+-- a 256-pair batch peaks past one v5e's 16 GB HBM even with the
+streaming-W key (RESOURCE_EXHAUSTED observed mid-multiply), while 128 pairs
+fit comfortably.  256-pair one-shot batching is the dp=2 sharding case
+(peba1_tpu.parallel.shard / gspmd_identify spread exactly these buffers).
 """
 
 import argparse

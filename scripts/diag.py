@@ -154,12 +154,14 @@ def mode_throughput(args):
                      "t_s2": round(ts[S2], 3),
                      "bootstraps_per_s": round(B / dt, 1),
                      "chain_correct_frac": float(ok)})
-    if args.out:
-        with open(args.out, "w") as f:
-            json.dump({"metric": "throughput_lever_matrix", "batch": B,
-                       "chain_lengths": [S1, S2], "reps": args.reps,
-                       "rows": rows, "device": str(jax.devices()[0])}, f,
-                      indent=1)
+        # Incremental write: keep the configs measured so far if a later
+        # keygen/run dies or the relay stalls.
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump({"metric": "throughput_lever_matrix", "batch": B,
+                           "chain_lengths": [S1, S2], "reps": args.reps,
+                           "rows": rows, "device": str(jax.devices()[0])},
+                          f, indent=1)
 
 
 # --------------------------------------------------------------------- noise
