@@ -78,7 +78,8 @@ def make_cloud_key(k_bk: jax.Array, k_ks: jax.Array, sk: SecretKey) -> CloudKey:
     bk_tp = jax.vmap(lambda g: poly.prepare_toeplitz_rhs(g, p.limb_plan))(bk)
     need_amat = p.ext_backend == "amat" or p.use_fused_cmux
     bk_amat = poly.prepare_amat(bk_tp, block=p.amat_block) if need_amat else None
-    need_w = (p.use_pallas_extprod or p.use_fused_step) and not p.w_streaming
+    need_w = ((p.use_pallas_extprod or p.use_fused_step)
+              and not p.w_streaming and not p.use_gen_step)
     bk_w = poly.prepare_w_full(bk_tp) if need_w else None
 
     # --- Keyswitch key: ks[i][j] = LWE_s(K_i / base^(j+1)); the switched

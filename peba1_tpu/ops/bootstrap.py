@@ -70,9 +70,19 @@ def blind_rotate(ck: CloudKey, bara: jax.Array, barb: jax.Array, mu) -> jax.Arra
     bk_steps = {"toeplitz": ck.bk_tp, "conv": ck.bk_conv, "amat": ck.bk_amat,
                 "pallas_extprod": ck.bk_w}[backend]
 
-    if p.use_pallas_rotate or p.use_fused_step or backend == "pallas_extprod":
+    if (p.use_pallas_rotate or p.use_fused_step or p.use_gen_step
+            or backend == "pallas_extprod"):
         from . import pallas_kernels as pk
         interp = jax.devices()[0].platform != "tpu"
+
+    if p.use_gen_step:
+        # Whole CMUX step in one kernel, weights assembled in VMEM from the
+        # per-step generator: no W in HBM, no bk_w key (the RING_2048 path).
+        def gstep(acc_flat, xs):
+            amt, vv_i = xs                           # vv_i: (G, C, 2N) int8
+            return pk.cmux_step_gen(acc_flat, amt, vv_i, p, interpret=interp), ()
+        acc_flat, _ = jax.lax.scan(gstep, acc.reshape(B, -1), (bara.T, ck.bk_tp))
+        return acc_flat.reshape(B, p.k + 1, p.N)
 
     if p.use_fused_step:
         G = (p.k + 1) * p.l

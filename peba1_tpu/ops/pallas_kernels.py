@@ -384,6 +384,141 @@ def cmux_step(acc_flat: jax.Array, amt: jax.Array, w_step: jax.Array,
     )(amt.reshape(B, 1), w_step, acc_flat)
 
 
+def _cmux_step_gen_kernel(amt_ref, vv_ref, acc_in_ref, out_ref, a_scr, d_scr,
+                          *, params: TfheParams, plan, fine: int):
+    """One batch tile of a full CMUX step with the step's Toeplitz weights
+    assembled IN VMEM from the small doubled generator -- W never exists in
+    HBM at all (vs `cmux_step`, which streams the precomputed bk_w, and the
+    w_streaming scan branch, which materializes each step's W in HBM
+    in-graph).  This is what makes the fused-step path viable at RING_2048,
+    where one step's W is ~134 MB (exceeds VMEM) and bk_w would be ~137 GB.
+
+    Assembly (once per step, at batch tile 0): for each of the G*C generator
+    rows, ONE strided `pltpu.roll` builds all K fine-shift windows
+    A[c, g*K + kappa, i] = vv[g, c, (base - kappa + i) mod 2N] as a
+    (K, 2N) block (out[kappa, i] = vv[(i - shift - kappa) mod 2N] with
+    shift = 2N - base), sliced to span = N + (U-1)*K lanes and written as one
+    aligned (K, span) block -- no per-row scatter, no dynamic lane slices.
+    The full Toeplitz row t = u*K + kappa is then
+    W[(g, t), (c, j)] = A[c, g*K + kappa, j + (U-1-u)*K], exactly
+    `ops/poly.prepare_amat`'s identity, so the dot stage is U aligned
+    lane-slices of the scratch per limb column.
+
+    amt_ref: (Bt, 1) int32 step rotation; vv_ref: (G, C, 2N) int8 doubled
+    generator (one step of CloudKey.bk_tp); acc aliased in/out as in
+    `cmux_step`; a_scr: (C, G*K, span) int8; d_scr: (U, Bt, G*K) int8 digits
+    laid out so each coarse shift u is ONE contiguous (Bt, G*K) MXU operand.
+    """
+    p = params
+    N, k1, l = p.N, p.k + 1, p.l
+    G = k1 * l
+    K = fine
+    U = N // K
+    span = N + (U - 1) * K
+    base = N - (U - 1) * K
+    C = sum(plan)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _assemble():
+        for g in range(G):
+            for c in range(C):
+                # Mosaic's (strided) rotate only handles 32-bit lanes; the
+                # int8 generator row rides through int32 and truncates back.
+                row = jnp.broadcast_to(vv_ref[g, c:c + 1, :], (K, 2 * N))
+                win = pltpu.roll(row.astype(jnp.int32), 2 * N - base, axis=1,
+                                 stride=1, stride_axis=0)
+                a_scr[c, g * K:(g + 1) * K, :] = win[:, :span].astype(jnp.int8)
+
+    # --- rotate + diff + decompose into the u-major digit scratch ---------
+    amt = amt_ref[:]  # (Bt, 1)
+    for up in range(k1):
+        x = acc_in_ref[:, up * N:(up + 1) * N]
+        diff = _rotate_block(x, amt, N) - x
+        for q, dq in enumerate(_decompose_block(diff, p)):
+            g = up * l + q
+            for w in range(U):
+                d_scr[w, :, g * K:(g + 1) * K] = dq[:, w * K:(w + 1) * K]
+
+    # --- C limb columns, U dots each, recombined into the aliased acc.
+    # All digits are in d_scr before any output write, so the in-place
+    # update cannot clobber inputs of later reads (same contract as
+    # _cmux_step_kernel).
+    c = 0
+    for o, nl in enumerate(plan):
+        delta_o = None
+        for m in range(nl):
+            out_c = None
+            for u in range(U):
+                lhs = d_scr[u]                             # (Bt, G*K) int8
+                off_u = (U - 1 - u) * K
+                rhs = a_scr[c, :, off_u: off_u + N]        # (G*K, N) int8
+                acc = jax.lax.dot_general(
+                    lhs, rhs, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                out_c = acc if out_c is None else out_c + acc
+            term = out_c << (8 * (4 - nl) + 8 * m)
+            delta_o = term if delta_o is None else delta_o + term
+            c += 1
+        out_ref[:, o * N:(o + 1) * N] = (
+            acc_in_ref[:, o * N:(o + 1) * N] + delta_o)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "block", "interpret"))
+def cmux_step_gen(acc_flat: jax.Array, amt: jax.Array, vv_step: jax.Array,
+                  params: TfheParams,
+                  block: int | None = None,
+                  interpret: bool = False) -> jax.Array:
+    """One whole blind-rotation step as a single Pallas kernel, weights
+    assembled in VMEM from the doubled Toeplitz generator.
+
+    acc_flat: (B, (k+1)*N) int32 accumulator (DONATED -- aliased to the
+    output); amt: (B,) int32 step rotation in [0, 2N); vv_step: (G, C, 2N)
+    int8 (one step of CloudKey.bk_tp).  Bit-identical to
+    rotate + decompose + extprod_toeplitz_i8 + add, but per step the only
+    HBM traffic is one accumulator read + write plus the ~G*C*2N-byte
+    generator: no O(N^2)-per-step W in HBM (w_streaming) and no O(n*N^2)
+    bk_w key (cmux_step).  The weight scratch (C, G*K, span) int8 stays
+    VMEM-resident across the batch-tile grid, assembled once at tile 0.
+    """
+    p = params
+    plan = p.limb_plan
+    B, accw = acc_flat.shape
+    G = (p.k + 1) * p.l
+    C = sum(plan)
+    K = min(p.amat_block, p.N)
+    U = p.N // K
+    span = p.N + (U - 1) * K
+    assert accw == (p.k + 1) * p.N, (accw, p.k, p.N)
+    assert vv_step.shape == (G, C, 2 * p.N), (vv_step.shape, G, C, p.N)
+    # Env knob resolved at call time (PEBA1_STEP_BLOCK); a block that does
+    # not divide B degrades to the nearest dividing tile.
+    if block is None:
+        block = int(os.environ.get("PEBA1_STEP_BLOCK", 512))
+    bt = _fit_block(B, block)
+    vmem_limit = int(os.environ.get("PEBA1_VMEM_LIMIT", 100 * 1024 * 1024))
+    return pl.pallas_call(
+        functools.partial(_cmux_step_gen_kernel, params=p, plan=plan, fine=K),
+        grid=(B // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, C, 2 * p.N), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, accw), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, accw), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, accw), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((C, G * K, span), jnp.int8),
+            pltpu.VMEM((U, bt, G * K), jnp.int8),
+        ],
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(amt.reshape(B, 1), vv_step, acc_flat)
+
+
 @functools.partial(jax.jit, static_argnames=("params", "block", "interpret"))
 def rotate_decompose(acc_flat: jax.Array, amt: jax.Array, params: TfheParams,
                      block: int = 256, interpret: bool = False) -> jax.Array:

@@ -93,6 +93,15 @@ class TfheParams:
     # bk_w cannot exist: 18.5 GB at the k=1 lambda=128 set, ~137 GB at
     # RING_2048 (BASELINE config 4).  Only meaningful with use_fused_step.
     w_streaming: bool = False
+    # One whole CMUX step as a single Pallas kernel with the step's Toeplitz
+    # weights assembled IN VMEM from the small doubled generator (bk_tp) by
+    # strided-roll fine shifts (ops/pallas_kernels.cmux_step_gen): W never
+    # exists in HBM at all.  The only fused-step option at RING_2048 (one
+    # step's W ~134 MB exceeds VMEM so cmux_step cannot block it, and the
+    # w_streaming scan branch materializes W in HBM in-graph); also removes
+    # cmux_step's O(n*N^2) bk_w key everywhere else.  Supersedes
+    # use_fused_step/w_streaming when set.
+    use_gen_step: bool = False
     # Fine-shift block K of the precomputed A-matrix (ops/poly.prepare_amat):
     # per-step storage is C*G*K*(N + (N/K - 1)*K) int8, and each of the C
     # limb columns needs N/K MXU dots whose int32 outputs are VPU-summed --
@@ -270,13 +279,27 @@ PEBA1_128_T2_STREAM = dataclasses.replace(PEBA1_128_T2, w_streaming=True)
 PEBA1_128_FAST_STREAM = dataclasses.replace(
     PEBA1_128_FAST, use_fused_step=True, w_streaming=True)
 
+# Generator-streaming fused-step variants (TfheParams.use_gen_step): the
+# per-step Toeplitz weights are assembled in VMEM inside the kernel from the
+# small bk_tp generator -- no bk_w key AND no per-step W in HBM.  This is the
+# BASELINE config-4 production path: at RING_2048, neither bk_w (~137 GB) nor
+# an HBM-materialized per-step W (~134 MB inside a 1024-step scan; crashed
+# the TPU-worker watchdog in the r03 attempt, runs/lever.log) is viable.
+RING_2048_GEN = dataclasses.replace(
+    RING_2048, bk_body_limbs=3, use_gen_step=True)
+PEBA1_128_T2_GEN = dataclasses.replace(PEBA1_128_T2, use_gen_step=True)
+PEBA1_128_FAST_GEN = dataclasses.replace(PEBA1_128_FAST, use_gen_step=True)
+
 PRESETS = {
     "peba1_128": PEBA1_128,
     "peba1_128_fast": PEBA1_128_FAST,
     "peba1_128_fast_stream": PEBA1_128_FAST_STREAM,
+    "peba1_128_fast_gen": PEBA1_128_FAST_GEN,
     "peba1_128_t2": PEBA1_128_T2,
     "peba1_128_t2_stream": PEBA1_128_T2_STREAM,
+    "peba1_128_t2_gen": PEBA1_128_T2_GEN,
     "ring_2048": RING_2048,
+    "ring_2048_gen": RING_2048_GEN,
     "toy": TOY,
     "toy_fast": TOY_FAST,
     "toy_t2": TOY_T2,

@@ -71,6 +71,7 @@ def main(argv=None):
     from peba1_tpu.params import PRESETS
     from peba1_tpu.parallel import mesh as pmesh
     from peba1_tpu.parallel import shard as pshard
+    from peba1_tpu.utils.artifacts import atomic_json
     from peba1_tpu.utils.bits import int_to_bits
 
     p = PRESETS[args.params]
@@ -99,11 +100,11 @@ def main(argv=None):
     def run_identify(m, n, seed):
         nt = args.per_device_templates * n
         hi = (1 << args.bitsize) - 1
-        # Nonzero slot values only: a zero operand triggers the faithful
-        # sub_abs forced-sign quirk and the naive plaintext expectation
-        # below would not apply (same domain as __graft_entry__.dryrun and
-        # tests/test_parallel.py).
-        tmpl = rng.integers(1, hi, (nt, args.nslots))
+        # Nonzero slot values only (full domain [1, 2^bitsize - 1]): a zero
+        # operand triggers the faithful sub_abs forced-sign quirk and the
+        # naive plaintext expectation below would not apply (same domain as
+        # __graft_entry__.dryrun and tests/test_parallel.py).
+        tmpl = rng.integers(1, hi + 1, (nt, args.nslots))
         probe = tmpl[nt // 2]
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
         t_ct = gates.encrypt_bits(k1, sk, int_to_bits(tmpl, args.bitsize))
@@ -154,14 +155,12 @@ def main(argv=None):
         # Incremental artifact: a timeout/crash mid-sweep keeps the sizes
         # measured so far (identify mode is hours on the 2-core virtual mesh).
         if args.out:
-            with open(args.out, "w") as f:
-                json.dump(make_record(), f, indent=1)
+            atomic_json(args.out, make_record())
 
     rec = make_record()
     print(json.dumps(rec))
     if args.out:
-        with open(args.out, "w") as f:
-            json.dump(rec, f, indent=1)
+        atomic_json(args.out, rec)
 
 
 if __name__ == "__main__":

@@ -40,6 +40,7 @@ import numpy as np
 from peba1_tpu import gates, keys, lwe
 from peba1_tpu.ops import bootstrap as bs
 from peba1_tpu.params import PEBA1_128, PRESETS
+from peba1_tpu.utils.artifacts import atomic_json
 
 MU = gates.MU_1_8
 
@@ -74,9 +75,14 @@ CONFIGS = {
         PRESETS["peba1_128_fast"], use_fused_step=True, w_streaming=True),
     "t2_stream": dataclasses.replace(
         PRESETS["peba1_128_t2"], w_streaming=True),
+    # Generator-streaming fused step (cmux_step_gen): weights assembled in
+    # VMEM from bk_tp by strided rolls -- no bk_w key, no per-step W in HBM.
+    "fast_gen": PRESETS["peba1_128_fast_gen"],
+    "t2_gen": PRESETS["peba1_128_t2_gen"],
     # BASELINE config 4: the N=2048 ring.  bk_w cannot exist (~137 GB) and
     # one step's W (134 MB) exceeds VMEM, so the candidates are the XLA
-    # GEMM paths (W materialized per step in-graph).
+    # GEMM paths (W materialized per step in-graph) and the in-VMEM-assembly
+    # kernel (n2048_gen -- the production path).
     "n2048": PRESETS["ring_2048"],
     "n2048_rot": dataclasses.replace(
         PRESETS["ring_2048"], use_pallas_rotate=True),
@@ -85,6 +91,9 @@ CONFIGS = {
     # is even smaller relative to RING_2048's 2^-28 bk noise budget.
     "n2048_body3": dataclasses.replace(
         PRESETS["ring_2048"], bk_body_limbs=3, use_pallas_rotate=True),
+    "n2048_gen": PRESETS["ring_2048_gen"],
+    "n2048_gen_body4": dataclasses.replace(
+        PRESETS["ring_2048_gen"], bk_body_limbs=4),
 }
 
 
@@ -111,7 +120,16 @@ def mode_throughput(args):
     """Honest bs/s per config: two chain lengths on fresh inputs, delta
     timing, and bench.py-grade discipline -- each length timed `reps` times
     (fresh inputs each) taking the MIN (the jitter is all positive: relay
-    fetch latency + host noise)."""
+    fetch latency + host noise).
+
+    --chunk-steps caps the bootstraps per XLA dispatch: a chain longer than
+    the chunk executes as several dispatches with a host fetch between them
+    (same watchdog-safe pattern as campaign mode).  Required at N=2048,
+    where a single 4-step dispatch is a multi-minute XLA execution that
+    crashes the TPU worker (runs/lever.log); the delta timing still cancels
+    the (now per-chunk) dispatch+fetch overhead to first order because both
+    chain lengths pay it per chunk.
+    """
     B = args.batch
     S1, S2 = 1, 4
     rows = []
@@ -121,15 +139,28 @@ def mode_throughput(args):
         print(f"[{name}] keygen {dt:.0f}s", flush=True)
         rng = np.random.default_rng(0)
         bits = jnp.asarray(rng.integers(0, 2, B))
-        fns = {s: jax.jit(functools.partial(_chain, steps=s)) for s in (S1, S2)}
+        cs = min(args.chunk_steps or S2, S2)
+        fn = jax.jit(functools.partial(_chain, steps=cs))
+
+        def run_chain(a, b, steps):
+            done = 0
+            while done < steps:
+                step = min(cs, steps - done)
+                if step == cs:
+                    a, b = fn(ck, a, b)
+                else:
+                    a, b = jax.jit(functools.partial(_chain, steps=step))(ck, a, b)
+                np.asarray(b[:8])  # host fetch = dispatch boundary
+                done += step
+            return a, b
+
         ts, ok, enc_seed = {}, float("nan"), 100
         for s in (S1, S2):
             # compile + warm on its own inputs (result may be relay-cached)
             ct = gates.encrypt_bits(jax.random.PRNGKey(enc_seed), sk, bits)
             enc_seed += 1
             t0 = time.time()
-            out = fns[s](ck, ct.a, ct.b)
-            np.asarray(out[1][:8])
+            out = run_chain(ct.a, ct.b, s)
             print(f"[{name}] steps={s} cold(compile+exec) {time.time()-t0:.0f}s",
                   flush=True)
             # timed runs on FRESH inputs each; min over reps
@@ -139,8 +170,7 @@ def mode_throughput(args):
                 enc_seed += 1
                 np.asarray(ct.b[:4])
                 t0 = time.time()
-                out = fns[s](ck, ct.a, ct.b)
-                np.asarray(out[1][:8])
+                out = run_chain(ct.a, ct.b, s)
                 best = min(best, time.time() - t0)
             ts[s] = best
             if s == S2:
@@ -152,16 +182,16 @@ def mode_throughput(args):
               f"(chain-correct {ok*100:.2f}%)", flush=True)
         rows.append({"config": name, "t_s1": round(ts[S1], 3),
                      "t_s2": round(ts[S2], 3),
+                     "chunk_steps": cs,
                      "bootstraps_per_s": round(B / dt, 1),
                      "chain_correct_frac": float(ok)})
         # Incremental write: keep the configs measured so far if a later
         # keygen/run dies or the relay stalls.
         if args.out:
-            with open(args.out, "w") as f:
-                json.dump({"metric": "throughput_lever_matrix", "batch": B,
-                           "chain_lengths": [S1, S2], "reps": args.reps,
-                           "rows": rows, "device": str(jax.devices()[0])},
-                          f, indent=1)
+            atomic_json(args.out, {
+                "metric": "throughput_lever_matrix", "batch": B,
+                "chain_lengths": [S1, S2], "reps": args.reps,
+                "rows": rows, "device": str(jax.devices()[0])})
 
 
 # --------------------------------------------------------------------- noise
@@ -287,16 +317,14 @@ def mode_campaign(args):
         if args.out and ((i + 1) % 16 == 0) and i != n_chunks - 1:
             rec = make_record(np.asarray(a), np.asarray(b), (i + 1) * cs,
                               time.time() - t0)
-            with open(args.out, "w") as f:
-                json.dump(rec, f, indent=1)
+            atomic_json(args.out, rec)
             print(f"  checkpointed {rec['gates']/1e6:.1f}M-gate artifact",
                   flush=True)
 
     rec = make_record(np.asarray(a), np.asarray(b), S, time.time() - t0)
     print(json.dumps(rec), flush=True)
     if args.out:
-        with open(args.out, "w") as f:
-            json.dump(rec, f, indent=1)
+        atomic_json(args.out, rec)
 
 
 # --------------------------------------------------------------------- relay
@@ -352,8 +380,7 @@ def mode_golden(args):
     }
     print(json.dumps(rec), flush=True)
     if args.out:
-        with open(args.out, "w") as f:
-            json.dump(rec, f)
+        atomic_json(args.out, rec, indent=None)
     if not rec["all_equal"]:
         sys.exit(1)
 
@@ -367,6 +394,9 @@ def main():
     t.add_argument("--batch", type=int, default=int(os.environ.get("B", 8192)))
     t.add_argument("--reps", type=int, default=3,
                    help="timed repetitions per chain length (min taken)")
+    t.add_argument("--chunk-steps", type=int, default=None,
+                   help="bootstraps per dispatch (watchdog-safe chunking; "
+                        "default: whole chain in one dispatch)")
     t.add_argument("--out", default=None, help="write the lever-matrix JSON")
     n = sub.add_parser("noise")
     n.add_argument("--batch", type=int, default=int(os.environ.get("B", 4096)))
