@@ -1,9 +1,10 @@
 """Headline benchmark: gate bootstraps/s/chip (BASELINE.json north star).
 
 Runs CHAINED batched AND-gate bootstraps at lambda=128 parameters (default
-preset peba1_128_t2: n=630, k*N=1024 as a rank-2 module over N=512 -- same
-total key dimension and noise rates as the reference's TFHE v1.x set; see
-peba1_tpu/params.py) on the default JAX backend (the TPU chip), checks
+preset peba1_128_t2_gen: n=630, k*N=1024 as a rank-2 module over N=512 --
+same total key dimension and noise rates as the reference's TFHE v1.x set --
+evaluated by the in-VMEM-assembly CMUX kernel; see peba1_tpu/params.py) on
+the default JAX backend (the TPU chip), checks
 decryption correctness of the chained output, and prints ONE JSON line:
 
   {"metric": "gate_bootstraps_per_s_per_chip", "value": ..., ...}
@@ -39,10 +40,13 @@ from peba1_tpu.ops import bootstrap as bs
 from peba1_tpu.params import PRESETS
 
 B = int(os.environ.get("PEBA1_BENCH_BATCH", "8192"))
-S1 = int(os.environ.get("PEBA1_BENCH_S1", "1"))
-S2 = int(os.environ.get("PEBA1_BENCH_S2", "5"))
+# Chain lengths: the per-dispatch fetch overhead on this relay is 0.4-0.9 s
+# and VARIES between reps, so a 1-vs-5 delta can swing +-30%; 2-vs-10 puts
+# 8 chained batches inside the delta and shrinks that noise floor ~3x.
+S1 = int(os.environ.get("PEBA1_BENCH_S1", "2"))
+S2 = int(os.environ.get("PEBA1_BENCH_S2", "10"))
 REPS = int(os.environ.get("PEBA1_BENCH_REPS", "2"))
-PARAMS = os.environ.get("PEBA1_BENCH_PARAMS", "peba1_128_t2")
+PARAMS = os.environ.get("PEBA1_BENCH_PARAMS", "peba1_128_t2_gen")
 assert S2 > S1 >= 1, f"need S2 > S1 >= 1, got S1={S1} S2={S2}"
 
 
@@ -76,11 +80,12 @@ def main():
         out = _chain(ck, ct.a, ct.b, steps=s)
         np.asarray(out[1][:4])
 
-    # Timed runs: FRESH inputs each, block_until_ready (verified blocking on
-    # this relay by scripts/diag.py relay; the delta also cancels any
-    # constant non-blocking bias).  Per chain length take the MIN over REPS
-    # repetitions so one relay-jitter spike cannot make the delta tiny or
-    # negative (ADVICE r1).
+    # Timed runs: FRESH inputs each, finished by a HOST FETCH of a few
+    # output elements -- on this relay block_until_ready can return before
+    # the execution is truly finished (scripts/diag.py relay; measured as a
+    # ~0.5 s t_s1 bias that does NOT cancel in the delta), only a fetch
+    # blocks.  Per chain length take the MIN over REPS repetitions so one
+    # relay-jitter spike cannot make the delta tiny or negative (ADVICE r1).
     ts = {}
     outs = {}
     for s in (S1, S2):
@@ -91,7 +96,7 @@ def main():
             np.asarray(ct.b[:4])  # inputs resident before the clock starts
             t0 = time.time()
             out = _chain(ck, ct.a, ct.b, steps=s)
-            jax.block_until_ready(out)
+            np.asarray(out[1][:8])  # host fetch = the only real barrier
             best = min(best, time.time() - t0)
             outs[s] = out
         ts[s] = best

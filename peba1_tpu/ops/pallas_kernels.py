@@ -491,11 +491,17 @@ def cmux_step_gen(acc_flat: jax.Array, amt: jax.Array, vv_step: jax.Array,
     assert accw == (p.k + 1) * p.N, (accw, p.k, p.N)
     assert vv_step.shape == (G, C, 2 * p.N), (vv_step.shape, G, C, p.N)
     # Env knob resolved at call time (PEBA1_STEP_BLOCK); a block that does
-    # not divide B degrades to the nearest dividing tile.
+    # not divide B degrades to the nearest dividing tile.  Measured on v5e
+    # (B=8192, scripts/diag.py throughput): t2_gen 24,148 bs/s at block 256
+    # vs 15,199/18,651 at 512/1024 (small acc tiles pipeline under the MXU
+    # dots); n2048_gen 1,359 at 1024 vs 1,282/1,322 at 256/512 (the N=2048
+    # dots want the larger M dim).
     if block is None:
-        block = int(os.environ.get("PEBA1_STEP_BLOCK", 512))
+        block = int(os.environ.get(
+            "PEBA1_STEP_BLOCK", 256 if p.N < 2048 else 1024))
     bt = _fit_block(B, block)
-    vmem_limit = int(os.environ.get("PEBA1_VMEM_LIMIT", 100 * 1024 * 1024))
+    # The N=2048/block-1024 shape needs ~113 MB scoped VMEM (128 MB on v5e).
+    vmem_limit = int(os.environ.get("PEBA1_VMEM_LIMIT", 121_634_816))
     return pl.pallas_call(
         functools.partial(_cmux_step_gen_kernel, params=p, plan=plan, fine=K),
         grid=(B // bt,),

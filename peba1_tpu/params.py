@@ -285,6 +285,12 @@ PEBA1_128_FAST_STREAM = dataclasses.replace(
 # BASELINE config-4 production path: at RING_2048, neither bk_w (~137 GB) nor
 # an HBM-materialized per-step W (~134 MB inside a 1024-step scan; crashed
 # the TPU-worker watchdog in the r03 attempt, runs/lever.log) is viable.
+# Measured on v5e at B=8192 (scripts/diag.py throughput, r4): t2_gen
+# 24,148 bs/s (the new headline kernel; vs 12,269 for bk_w-streaming
+# cmux_step), n2048_gen 1,359 bs/s -- the first on-chip N=2048 number.
+# Crypto parameters are IDENTICAL to the non-gen presets (only the kernel
+# differs, and all kernels are bit-identical, tests/test_fused.py), so the
+# NOISE_r03_t2 campaign certification carries over to t2_gen unchanged.
 RING_2048_GEN = dataclasses.replace(
     RING_2048, bk_body_limbs=3, use_gen_step=True)
 PEBA1_128_T2_GEN = dataclasses.replace(PEBA1_128_T2, use_gen_step=True)

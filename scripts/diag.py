@@ -131,7 +131,7 @@ def mode_throughput(args):
     chain lengths pay it per chunk.
     """
     B = args.batch
-    S1, S2 = 1, 4
+    S1, S2 = args.s1, args.s2
     rows = []
     for name in (args.configs or list(CONFIGS)):
         P = CONFIGS[name] if name in CONFIGS else PRESETS[name]
@@ -140,16 +140,18 @@ def mode_throughput(args):
         rng = np.random.default_rng(0)
         bits = jnp.asarray(rng.integers(0, 2, B))
         cs = min(args.chunk_steps or S2, S2)
-        fn = jax.jit(functools.partial(_chain, steps=cs))
+        # One jitted fn per distinct dispatch size, built ONCE: a fresh
+        # jax.jit(partial(...)) per call would re-trace every time (~0.5 s of
+        # Python overhead that lands only in the short chain and inflates the
+        # delta rate ~10-25% -- the bug behind the r4 24k-vs-13.7k confusion).
+        sizes = {cs} | {s % cs or cs for s in (S1, S2)}
+        fns = {z: jax.jit(functools.partial(_chain, steps=z)) for z in sizes}
 
         def run_chain(a, b, steps):
             done = 0
             while done < steps:
                 step = min(cs, steps - done)
-                if step == cs:
-                    a, b = fn(ck, a, b)
-                else:
-                    a, b = jax.jit(functools.partial(_chain, steps=step))(ck, a, b)
+                a, b = fns[step](ck, a, b)
                 np.asarray(b[:8])  # host fetch = dispatch boundary
                 done += step
             return a, b
@@ -397,6 +399,12 @@ def main():
     t.add_argument("--chunk-steps", type=int, default=None,
                    help="bootstraps per dispatch (watchdog-safe chunking; "
                         "default: whole chain in one dispatch)")
+    t.add_argument("--s1", type=int, default=1)
+    t.add_argument("--s2", type=int, default=4,
+                   help="chain lengths for the delta; longer chains shrink "
+                        "the per-dispatch-overhead noise floor (the S1=1 "
+                        "fetch overhead is 0.4-0.9s and varies between "
+                        "reps, so short-chain deltas can swing +-30%)")
     t.add_argument("--out", default=None, help="write the lever-matrix JSON")
     n = sub.add_parser("noise")
     n.add_argument("--batch", type=int, default=int(os.environ.get("B", 4096)))
