@@ -18,6 +18,9 @@ arrays for clear; both support numpy-style indexing on the trailing axes.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,6 +54,34 @@ _GATE_FN = {
     "ORNY": lambda a, b: (1 - a) | b,
     "ORYN": lambda a, b: a | (1 - b),
 }
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "bucket"))
+def _level_flat(As, Bs, was, wbs, offs, shape: tuple, bucket: int) -> lwe.Lwe:
+    """Stack L same-level gates, apply per-gate lincombs, flatten and pad --
+    one dispatch.  As/Bs: tuples of Lwe; was/wbs/offs: (L,) int32."""
+    dim = As[0].dim
+    bc = lambda x: lwe.Lwe(jnp.broadcast_to(x.a, shape + (dim,)),
+                           jnp.broadcast_to(x.b, shape))
+    A = lwe.stack([bc(a) for a in As])
+    B = lwe.stack([bc(b) for b in Bs])
+    wshape = (len(As),) + (1,) * len(shape)
+    wa = was.reshape(wshape)
+    wb = wbs.reshape(wshape)
+    off = offs.reshape(wshape)
+    pre = lwe.Lwe(A.a * wa[..., None] + B.a * wb[..., None],
+                  A.b * wa + B.b * wb + off)
+    flat = lwe.Lwe(pre.a.reshape(-1, dim), pre.b.reshape(-1))
+    return gates._pad_flat(flat, bucket)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "shape"))
+def _level_post(out: lwe.Lwe, L: int, shape: tuple):
+    """Slice the padded flat bootstrap output back into L per-gate results."""
+    n = L * int(np.prod(shape, dtype=np.int64))
+    res = lwe.Lwe(out.a[:n].reshape((L,) + shape + (out.dim,)),
+                  out.b[:n].reshape((L,) + shape))
+    return tuple(res[i] for i in range(L))
 
 
 class CipherBackend:
@@ -89,24 +120,23 @@ class CipherBackend:
 
         All gates execute as ONE bootstrap launch: inputs are stacked along a
         new leading axis, per-gate (wa, wb, offset) broadcast elementwise.
+        The stack + linear-combination + pad runs as ONE jitted dispatch and
+        the post-slice as another (see gates._pre_flat on why: eager per-op
+        dispatches between launches were ~10% of protocol wall clock).
         """
-        shape = jnp.broadcast_shapes(*[x.shape for _, a, b in ops for x in (a, b)])
-        dim = ops[0][1].dim
-        As, Bs, was, wbs, offs = [], [], [], [], []
-        for name, a, b in ops:
-            wa, wb, off = _GATE_LIN[name]
-            As.append(lwe.Lwe(jnp.broadcast_to(a.a, shape + (dim,)), jnp.broadcast_to(a.b, shape)))
-            Bs.append(lwe.Lwe(jnp.broadcast_to(b.a, shape + (dim,)), jnp.broadcast_to(b.b, shape)))
-            was.append(jnp.full(shape, wa, jnp.int32))
-            wbs.append(jnp.full(shape, wb, jnp.int32))
-            offs.append(jnp.full(shape, off, jnp.int32))
-        A = lwe.stack(As)
-        B = lwe.stack(Bs)
+        shape = tuple(jnp.broadcast_shapes(
+            *[x.shape for _, a, b in ops for x in (a, b)]))
+        L = len(ops)
+        w = np.array([_GATE_LIN[name] for name, _, _ in ops], np.int64)
+        n = L * int(np.prod(shape, dtype=np.int64))
         self.launches += 1
-        out = gates.lincomb_bootstrap(
-            self.ck, A, B, jnp.stack(was), jnp.stack(wbs), jnp.stack(offs)
-        )
-        return [out[i] for i in range(len(ops))]
+        flat = _level_flat(
+            tuple(a for _, a, _ in ops), tuple(b for _, _, b in ops),
+            jnp.asarray(w[:, 0], jnp.int32), jnp.asarray(w[:, 1], jnp.int32),
+            jnp.asarray(w[:, 2], jnp.int32),
+            shape=shape, bucket=gates._bucket(n))
+        out = gates._jit_bootstrap(self.ck, flat, jnp.int32(gates.MU_1_8))
+        return list(_level_post(out, L=L, shape=shape))
 
     # -- structural helpers ----------------------------------------------
     def stack(self, xs, axis=0):

@@ -64,6 +64,33 @@ _jit_bootstrap_wo_ks = jax.jit(bs.bootstrap_wo_ks)
 _jit_keyswitch = jax.jit(bs.keyswitch)
 
 
+# Eager-dispatch discipline: every level of a levelized circuit is driven
+# from Python, so each stray jnp op between bootstrap launches is its own
+# tiny device dispatch (~ms through the axon relay) -- at thousands of
+# launches per protocol run that overhead was ~10% of wall clock (r03
+# BENCH_matches vs raw rate).  The pre-combination (linear combo + flatten +
+# pad) and post-slice therefore run as ONE jitted call each around the
+# shared bucketed bootstrap executable; compiles are cheap (elementwise) and
+# cached per shape.
+@functools.partial(jax.jit, static_argnames=("bucket",))
+def _pre_flat(a: lwe.Lwe, b: lwe.Lwe, wa, wb, offset, bucket: int) -> lwe.Lwe:
+    pre = lwe.Lwe(
+        a.a * wa[..., None] + b.a * wb[..., None],
+        a.b * wa + b.b * wb + offset,
+    )
+    flat, _ = _flatten(pre)
+    return _pad_flat(flat, bucket)
+
+
+@functools.partial(jax.jit, static_argnames=("shape",))
+def _post_unflat(out: lwe.Lwe, shape: tuple) -> lwe.Lwe:
+    """Slice the padded flat batch back to the (static) gate batch shape."""
+    n = 1
+    for d in shape:
+        n *= d
+    return _unflatten(out[:n], shape)
+
+
 def gate_bootstrap(ck: CloudKey, pre: lwe.Lwe) -> lwe.Lwe:
     """Bootstrap an arbitrary-shaped batch of prepared gate inputs to +-1/8."""
     flat, shape = _flatten(pre)
@@ -81,11 +108,14 @@ def lincomb_bootstrap(ck: CloudKey, a: lwe.Lwe, b: lwe.Lwe, wa, wb, offset) -> l
     """
     wa = jnp.asarray(wa, jnp.int32)
     wb = jnp.asarray(wb, jnp.int32)
-    pre = lwe.Lwe(
-        a.a * wa[..., None] + b.a * wb[..., None],
-        a.b * wa + b.b * wb + jnp.asarray(offset, jnp.int32),
-    )
-    return gate_bootstrap(ck, pre)
+    shape = jnp.broadcast_shapes(a.shape, b.shape, wa.shape)
+    n = 1
+    for d in shape:
+        n *= d
+    flat = _pre_flat(a, b, wa, wb, jnp.asarray(offset, jnp.int32),
+                     bucket=_bucket(n))
+    out = _jit_bootstrap(ck, flat, jnp.int32(MU_1_8))
+    return _post_unflat(out, tuple(shape))
 
 
 def AND(ck, a, b):   return lincomb_bootstrap(ck, a, b, 1, 1, -MU_1_8)
@@ -120,23 +150,39 @@ def CONSTANT(ck: CloudKey, value, shape=()) -> lwe.Lwe:
     return lwe.trivial(mu, ck.params.n, shape)
 
 
-def MUX(ck: CloudKey, a: lwe.Lwe, b: lwe.Lwe, c: lwe.Lwe) -> lwe.Lwe:
-    """a ? b : c -- two bootstraps (no intermediate keyswitch) + one keyswitch."""
+@functools.partial(jax.jit, static_argnames=("shape", "bucket"))
+def _mux_pre(a: lwe.Lwe, b: lwe.Lwe, c: lwe.Lwe, shape: tuple, bucket: int) -> lwe.Lwe:
+    a, b, c = (lwe.Lwe(jnp.broadcast_to(x.a, shape + (x.dim,)),
+                       jnp.broadcast_to(x.b, shape)) for x in (a, b, c))
     pre1 = (a + b).add_const(-MU_1_8)       # ~ a AND b
     pre2 = (c - a).add_const(-MU_1_8)       # ~ (not a) AND c
-    f1, shape = _flatten(pre1)
+    f1, _ = _flatten(pre1)
     f2, _ = _flatten(pre2)
-    both = lwe.concatenate([f1, f2], axis=0)
-    B = f1.shape[0]
-    a_ext, b_ext = _jit_bootstrap_wo_ks(ck, _pad_flat(both, _bucket(2 * B)), jnp.int32(MU_1_8))
-    u_a = a_ext[:B] + a_ext[B : 2 * B]
-    u_b = b_ext[:B] + b_ext[B : 2 * B] + jnp.int32(MU_1_8)
-    # pad the keyswitch batch into the same bucket system
-    nb = _bucket(B)
-    u_a = jnp.pad(u_a, ((0, nb - B), (0, 0)))
-    u_b = jnp.pad(u_b, ((0, nb - B),))
+    return _pad_flat(lwe.concatenate([f1, f2], axis=0), bucket)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "bucket"))
+def _mux_mid(a_ext, b_ext, n: int, bucket: int):
+    u_a = a_ext[:n] + a_ext[n : 2 * n]
+    u_b = b_ext[:n] + b_ext[n : 2 * n] + jnp.int32(MU_1_8)
+    return (jnp.pad(u_a, ((0, bucket - n), (0, 0))),
+            jnp.pad(u_b, ((0, bucket - n),)))
+
+
+def MUX(ck: CloudKey, a: lwe.Lwe, b: lwe.Lwe, c: lwe.Lwe) -> lwe.Lwe:
+    """a ? b : c -- two bootstraps (no intermediate keyswitch) + one keyswitch.
+
+    Like lincomb_bootstrap, the eager sections between the two bootstrap
+    executables are folded into jitted helpers (one dispatch each)."""
+    shape = jnp.broadcast_shapes(a.shape, b.shape, c.shape)
+    B = 1
+    for d in shape:
+        B *= d
+    both = _mux_pre(a, b, c, shape=tuple(shape), bucket=_bucket(2 * B))
+    a_ext, b_ext = _jit_bootstrap_wo_ks(ck, both, jnp.int32(MU_1_8))
+    u_a, u_b = _mux_mid(a_ext, b_ext, n=B, bucket=_bucket(B))
     out = _jit_keyswitch(ck, u_a, u_b)
-    return _unflatten(out[:B], shape)
+    return _post_unflat(out, tuple(shape))
 
 
 def encrypt_bits(key, sk, bits) -> lwe.Lwe:

@@ -58,7 +58,11 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", choices=["pairs", "identify", "argmin"],
                     default="pairs")
-    ap.add_argument("--params", default="peba1_128_fast", choices=sorted(PRESETS))
+    # Default = fastest kernel on certified crypto: peba1_128_t2_gen shares
+    # the t2 lattice/noise parameters whose >=10^7-gate campaign artifact is
+    # committed (NOISE_r03_t2.json); kernels are bit-identical in CI.
+    ap.add_argument("--params", default="peba1_128_t2_gen",
+                    choices=sorted(PRESETS))
     ap.add_argument("--pairs", type=int, default=256)
     ap.add_argument("--n-templates", type=int, default=64)
     ap.add_argument("--nslots", type=int, default=128)
