@@ -58,6 +58,37 @@ class CloudKey:
     params: TfheParams = struct.field(pytree_node=False)
 
 
+def active_bk_field(p: TfheParams) -> str:
+    """Which CloudKey bootstrapping-key form ops.bootstrap.blind_rotate will
+    actually read under `p` (mirrors its branch order exactly)."""
+    if p.use_fused_cmux:
+        return "bk_amat"
+    if p.use_gen_step:
+        return "bk_tp"
+    if p.use_fused_step:
+        return "bk_tp" if p.w_streaming else "bk_w"
+    if p.use_pallas_extprod:
+        return "bk_w"
+    return {"toeplitz": "bk_tp", "conv": "bk_conv", "amat": "bk_amat"}[p.ext_backend]
+
+
+_BK_FIELDS = ("bk", "bk_conv", "bk_tp", "bk_amat", "bk_w")
+
+
+def slim_for_bootstrap(ck: CloudKey) -> CloudKey:
+    """Drop every key form the bootstrap path will not read.
+
+    Used to thread the cloud key EXPLICITLY through shard_map bodies (one
+    pytree operand with replicated specs) instead of closure-capturing it:
+    multi-host placement of the multi-GB key tensors must ride on deliberate
+    in_specs, not on XLA constant handling -- and the unused precomputed
+    forms (bk/bk_conv are keygen intermediates once a Toeplitz backend is
+    selected) should not ship to devices at all.
+    """
+    active = active_bk_field(ck.params)
+    return ck.replace(**{f: None for f in _BK_FIELDS if f != active})
+
+
 def keygen(key: jax.Array, params: TfheParams) -> "tuple[SecretKey, CloudKey]":
     """Generate a full secret/cloud keyset deterministically from a PRNG key."""
     k_lwe, k_tlwe, k_bk, k_ks = jax.random.split(key, 4)

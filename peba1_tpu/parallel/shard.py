@@ -28,7 +28,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import lwe
-from ..keys import CloudKey
+from ..keys import CloudKey, slim_for_bootstrap
 from ..ops import bootstrap as bs
 from ..ops import poly, rotate
 
@@ -45,18 +45,24 @@ def sharded_bootstrap(mesh: Mesh, ck: CloudKey, ct: lwe.Lwe, mu) -> lwe.Lwe:
     """Batched gate bootstrap with batch sharded over dp, KS matmul over tp.
 
     ct: (B,) flat batch; B must divide evenly by mesh dp size.
+
+    The cloud key enters the shard_map body as an explicit pytree OPERAND
+    with replicated specs (slimmed to the one bootstrapping-key form the
+    params' backend actually reads, keys.slim_for_bootstrap) -- never as a
+    closure capture, so multi-host placement of the multi-GB key tensors is
+    deliberate rather than riding on XLA constant handling.
     """
     p = ck.params
     n_tp = mesh.shape["tp"]
     ks_sharded = shard_keyswitch_table(ck, n_tp)
-    c_total = ks_sharded.shape[0] * ks_sharded.shape[2]
+    # The tp-column-sharded table replaces ks_table_limbs inside the body.
+    ck_slim = slim_for_bootstrap(ck).replace(ks_table_limbs=None)
 
-    def local_fn(ct_a, ct_b, bk_conv, ks_cols):
+    def local_fn(ck_local, ct_a, ct_b, ks_cols):
         # ks_cols: (1, M, C/tp) local slice of the keyswitch table
         local = lwe.Lwe(ct_a, ct_b)
         bara = rotate.modswitch_2n(local.a, p.N)
         barb = rotate.modswitch_2n(local.b, p.N)
-        ck_local = ck.replace(bk_conv=bk_conv)
         acc = bs.blind_rotate(ck_local, bara, barb, mu)
         from .. import tlwe
         a_ext, b_ext = tlwe.sample_extract(acc)
@@ -72,11 +78,11 @@ def sharded_bootstrap(mesh: Mesh, ck: CloudKey, ct: lwe.Lwe, mu) -> lwe.Lwe:
     fn = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P("dp"), P("dp"), P(), P("tp")),
+        in_specs=(P(), P("dp"), P("dp"), P("tp")),
         out_specs=(P("dp"), P("dp")),
         check_vma=False,
     )
-    a, b = fn(ct.a, ct.b, ck.bk_conv, ks_sharded)
+    a, b = fn(ck_slim, ct.a, ct.b, ks_sharded)
     return lwe.Lwe(a, b)
 
 
@@ -221,7 +227,7 @@ def sharded_tree_sum(mesh: Mesh, ck: CloudKey, words_ct: lwe.Lwe,
         out_specs=(spec_out, spec_out),
         check_vma=False,
     )
-    a, b = fn(ck, words_ct.a, words_ct.b)
+    a, b = fn(slim_for_bootstrap(ck), words_ct.a, words_ct.b)
     return lwe.Lwe(a, b)
 
 
@@ -266,7 +272,8 @@ def sharded_euclidean(mesh: Mesh, ck: CloudKey, probe_ct: lwe.Lwe,
         out_specs=(P("dp"), P("dp")),
         check_vma=False,
     )
-    a, b = fn(ck, templates_ct.a, templates_ct.b, probe_ct.a, probe_ct.b)
+    a, b = fn(slim_for_bootstrap(ck), templates_ct.a, templates_ct.b,
+              probe_ct.a, probe_ct.b)
     return lwe.Lwe(a, b)
 
 
@@ -312,7 +319,7 @@ def sharded_identify(mesh: Mesh, ck: CloudKey, probe_ct: lwe.Lwe,
         out_specs=(P("dp"), P("dp")),
         check_vma=False,
     )
-    a, b = fn(ck, templates_ct.a, templates_ct.b,
+    a, b = fn(slim_for_bootstrap(ck), templates_ct.a, templates_ct.b,
               probe_ct.a, probe_ct.b, enc_bound.a, enc_bound.b)
     return lwe.Lwe(a, b)
 
@@ -403,7 +410,8 @@ def sharded_argmin(mesh: Mesh, ck: CloudKey, vals_ct: lwe.Lwe,
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
-    va, vb, ia, ib = fn(ck, vals_ct.a, vals_ct.b, idxs_ct.a, idxs_ct.b)
+    va, vb, ia, ib = fn(slim_for_bootstrap(ck), vals_ct.a, vals_ct.b,
+                        idxs_ct.a, idxs_ct.b)
     return lwe.Lwe(va, vb), lwe.Lwe(ia, ib)
 
 
@@ -455,6 +463,6 @@ def sharded_identify_argmin(mesh: Mesh, ck: CloudKey, probe_ct: lwe.Lwe,
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
-    va, vb, ia, ib = fn(ck, templates_ct.a, templates_ct.b,
+    va, vb, ia, ib = fn(slim_for_bootstrap(ck), templates_ct.a, templates_ct.b,
                         idx_words.a, idx_words.b, probe_ct.a, probe_ct.b)
     return lwe.Lwe(va, vb), lwe.Lwe(ia, ib)

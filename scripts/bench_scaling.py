@@ -30,10 +30,133 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def mode_comm(args):
+    """Static collective-payload accounting + projected interconnect-limited
+    efficiency for the sharded forms (BASELINE config 5).
+
+    The virtual-CPU-mesh measurements (the other modes) reflect host-core
+    contention, not interconnect; this mode complements them with the other
+    bound: per-collective payload bytes are STATICALLY known from the shard_map
+    programs (peba1_tpu/parallel/shard.py), per-device compute time is taken
+    from the committed on-chip artifacts, and efficiency is projected as
+    t_compute / (t_compute + t_comm) with NO compute/comm overlap -- a
+    conservative lower bound (XLA can overlap collectives where the
+    dependence structure allows; the ringtp per-step gather is on the serial
+    path, so there it is tight).
+
+    Link-bandwidth assumptions are explicit knobs: --ici-gbps per-direction
+    per-chip ICI (default 45 GB/s ~ v5e; v5p ~ 90), --dcn-gbps cross-host
+    (default 25 GB/s).
+    """
+    import math
+
+    from peba1_tpu.params import PRESETS
+
+    p = PRESETS[args.params]
+    B = args.comm_batch                      # per-device bootstrap batch
+    nslots, bits = args.nslots, args.bitsize
+    ici = args.ici_gbps * 1e9
+    dcn = args.dcn_gbps * 1e9
+    ct_bytes = (p.n + 1) * 4                 # one LWE ciphertext
+    ks_cols = (p.n + 1) * 4                  # keyswitch table output columns
+    t_batch = args.batch_seconds             # on-chip seconds per B-batch
+    t_template = args.template_seconds       # on-chip seconds per 1:N template
+
+    def eff(t_comp, t_comm):
+        return t_comp / (t_comp + t_comm)
+
+    rows = []
+    for tp in (2, 4, 8):
+        # sharded_bootstrap: ONE all_gather per launch -- the tp-split
+        # keyswitch partials (shard.py sharded_bootstrap: part (B, C/tp),
+        # gathered tiled over tp).  Received bytes/device:
+        cpad = -(-ks_cols // tp) * tp
+        bytes_ks = B * cpad * 4 * (tp - 1) / tp
+        rows.append({
+            "form": "sharded_bootstrap", "axis": f"tp={tp}", "link": "ici",
+            "payload_bytes_per_device_per_launch": int(bytes_ks),
+            "t_compute_s": t_batch, "t_comm_s": round(bytes_ks / ici, 6),
+            "projected_efficiency": round(eff(t_batch, bytes_ks / ici), 4),
+        })
+    for tp in (2, 4, 8):
+        # sharded_bootstrap_ringtp: per-STEP all_gather of the delta slice
+        # (shard.py step(): cols (B, k+1, N/tp) -> (B, k+1, N)); n steps on
+        # the serial path (acc dependence), so no overlap is available.
+        bytes_step = B * (p.k + 1) * p.N * 4 * (tp - 1) / tp
+        total = bytes_step * p.n
+        # per-rank compute shrinks by tp (the GEMM columns split).
+        t_comp = t_batch / tp
+        rows.append({
+            "form": "sharded_bootstrap_ringtp", "axis": f"tp={tp}",
+            "link": "ici",
+            "payload_bytes_per_device_per_batch": int(total),
+            "t_compute_s": round(t_comp, 4),
+            "t_comm_s": round(total / ici, 4),
+            "projected_efficiency": round(eff(t_comp, total / ici), 4),
+        })
+    for hosts in (2, 4, 8):
+        # sharded_identify over dp across hosts (the config-5 1:N workload):
+        # ZERO mid-circuit collectives -- each host's shard runs the full
+        # Function_f locally.  Cross-host traffic per probe: the replicated
+        # probe + bound broadcast (DCN), once per authentication.
+        bytes_bcast = (nslots * bits + 3 * bits) * ct_bytes
+        t_comp = t_template  # per-template cadence; weak scaling per host
+        t_comm = bytes_bcast / dcn
+        rows.append({
+            "form": "sharded_identify", "axis": f"hosts={hosts} (dp)",
+            "link": "dcn",
+            "payload_bytes_per_probe": int(bytes_bcast),
+            "t_compute_s": t_comp, "t_comm_s": round(t_comm, 6),
+            "projected_efficiency": round(eff(t_comp, t_comm), 6),
+        })
+    # sharded_tree_sum / argmin finalist gathers: a few encrypted words.
+    bytes_tree = (3 * bits) * ct_bytes
+    rows.append({
+        "form": "sharded_tree_sum/argmin finalists", "axis": "tp or dp",
+        "link": "ici", "payload_bytes_per_reduce": int(bytes_tree),
+        "note": "KB-scale vs minutes of compute; negligible",
+    })
+
+    rec = {
+        "metric": "projected_interconnect_limited_efficiency",
+        "model": "t_comp/(t_comp+t_comm), no-overlap lower bound",
+        "params": args.params,
+        "per_device_batch": B,
+        "nslots": nslots, "bitsize": bits,
+        "assumed_ici_gbytes_per_s": args.ici_gbps,
+        "assumed_dcn_gbytes_per_s": args.dcn_gbps,
+        "batch_seconds_source": args.batch_seconds_source,
+        "template_seconds_source": args.template_seconds_source,
+        "rows": rows,
+        "config5_verdict": (
+            ">=80% at >=2 hosts HOLDS in projection for the config-5 1:N "
+            "workload (sharded_identify over dp: no mid-circuit collectives, "
+            "probe broadcast is microseconds vs ~minutes of compute/shard, "
+            f"projected {rows[6]['projected_efficiency']:.4f}); the dp-only "
+            "raw-bootstrap form is likewise collective-free and the "
+            "tp-sharded keyswitch costs <1% at tp<=8 (projected "
+            f"{rows[0]['projected_efficiency']:.4f} at tp=2).  The ring-TP "
+            "form is the exception: its per-step delta gather sits on the "
+            "serial accumulator path (no overlap), projecting "
+            f"{rows[3]['projected_efficiency']:.2f} at tp=2 on these "
+            "assumptions -- scaling the ring dimension is bandwidth-bound "
+            "and wants v5p-class ICI; scaling batch or templates is free."),
+        "ringtp_compute_model_caveat": (
+            "ringtp t_compute assumes the full per-batch time divides by tp; "
+            "in truth only the external-product GEMM splits (rotate/"
+            "decompose replicate per rank), so real ring-TP efficiency sits "
+            "between this bound and the unsplit-compute one."),
+    }
+    print(json.dumps(rec))
+    if args.out:
+        from peba1_tpu.utils.artifacts import atomic_json
+        atomic_json(args.out, rec)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--params", default="toy")
-    ap.add_argument("--mode", choices=["bootstrap", "identify"],
+    ap.add_argument("--mode", choices=["bootstrap", "identify", "comm"],
                     default="bootstrap")
     ap.add_argument("--per-device-batch", type=int, default=64,
                     help="gate bootstraps per device (bootstrap mode)")
@@ -49,7 +172,24 @@ def main(argv=None):
     ap.add_argument("--virtual-devices", type=int, default=0,
                     help="force N virtual CPU devices (sets XLA_FLAGS; must "
                          "be first JAX use in the process)")
+    # comm-mode knobs (static accounting; no devices touched)
+    ap.add_argument("--comm-batch", type=int, default=8192,
+                    help="per-device bootstrap batch for the comm model")
+    ap.add_argument("--ici-gbps", type=float, default=45.0,
+                    help="assumed per-direction ICI GB/s (v5e ~45, v5p ~90)")
+    ap.add_argument("--dcn-gbps", type=float, default=25.0)
+    ap.add_argument("--batch-seconds", type=float, default=0.5994,
+                    help="measured on-chip seconds per per-device batch")
+    ap.add_argument("--batch-seconds-source", default="BENCH_r04.json")
+    ap.add_argument("--template-seconds", type=float, default=19.4,
+                    help="measured on-chip seconds per 1:N template")
+    ap.add_argument("--template-seconds-source",
+                    default="BENCH_matches_r03.json (1242s / 64 templates)")
     args = ap.parse_args(argv)
+
+    if args.mode == "comm":
+        mode_comm(args)
+        return
 
     if args.virtual_devices:
         os.environ["XLA_FLAGS"] = (

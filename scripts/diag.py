@@ -409,7 +409,8 @@ def main():
     n = sub.add_parser("noise")
     n.add_argument("--batch", type=int, default=int(os.environ.get("B", 4096)))
     cp = sub.add_parser("campaign")
-    cp.add_argument("--params", default="peba1_128_fast", choices=sorted(PRESETS))
+    cp.add_argument("--params", default="peba1_128_t2_gen",
+                    choices=sorted(PRESETS))
     cp.add_argument("--batch", type=int, default=8192)
     cp.add_argument("--steps", type=int, default=128)
     cp.add_argument("--chunk-steps", type=int, default=16,
@@ -417,9 +418,11 @@ def main():
     cp.add_argument("--out", default=None)
     r = sub.add_parser("relay")
     r.add_argument("--batch", type=int, default=4096)
-    r.add_argument("--params", default="peba1_128_fast", choices=sorted(PRESETS))
+    r.add_argument("--params", default="peba1_128_t2_gen",
+                   choices=sorted(PRESETS))
     g = sub.add_parser("golden")
-    g.add_argument("--params", default="peba1_128_fast", choices=sorted(PRESETS))
+    g.add_argument("--params", default="peba1_128_t2_gen",
+                   choices=sorted(PRESETS))
     g.add_argument("--corpus", default=os.path.join(
         os.path.dirname(__file__), "..", "tests", "data", "golden_corpus.json"))
     g.add_argument("--corpus-batch", type=int, default=16)

@@ -19,6 +19,12 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: amortizes the expensive XLA CPU compiles (the
+# one-program shard_map forms are tens of minutes cold; warm they are
+# seconds).  Only graphs over 10s of compile are cached to keep it small.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("PEBA1_CACHE", "/root/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 import pytest  # noqa: E402
 
