@@ -63,7 +63,7 @@ def active_bk_field(p: TfheParams) -> str:
     actually read under `p` (mirrors its branch order exactly)."""
     if p.use_fused_cmux:
         return "bk_amat"
-    if p.use_gen_step:
+    if p.use_gen_full or p.use_gen_step:
         return "bk_tp"
     if p.use_fused_step:
         return "bk_tp" if p.w_streaming else "bk_w"

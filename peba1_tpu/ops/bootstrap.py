@@ -60,6 +60,17 @@ def blind_rotate(ck: CloudKey, bara: jax.Array, barb: jax.Array, mu) -> jax.Arra
                                     interpret=interp)
         return out.reshape(B, p.k + 1, p.N)
 
+    if p.use_gen_full:
+        # Whole rotation in one kernel: VMEM-resident generator key +
+        # resident accumulator + in-VMEM weight assembly (small-N sets only).
+        from . import pallas_kernels as pk
+        interp = jax.devices()[0].platform != "tpu"
+        amt = jnp.concatenate(
+            [((2 * p.N - barb) % (2 * p.N))[:, None], bara], axis=1)
+        out = pk.blind_rotate_gen_full(amt, ck.bk_tp, jnp.int32(mu), p,
+                                       interpret=interp)
+        return out.reshape(B, p.k + 1, p.N)
+
     tv = jnp.full((B, p.N), jnp.int32(mu))
     acc = jnp.concatenate(
         [jnp.zeros((B, p.k, p.N), jnp.int32),

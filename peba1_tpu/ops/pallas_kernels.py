@@ -525,6 +525,137 @@ def cmux_step_gen(acc_flat: jax.Array, amt: jax.Array, vv_step: jax.Array,
     )(amt.reshape(B, 1), vv_step, acc_flat)
 
 
+def _gen_full_kernel(mu_ref, amt_ref, vv_ref, out_ref, a_scr, d_scr,
+                     *, params: TfheParams, plan, fine: int, n_steps: int):
+    """Whole blind rotation, one batch tile per grid cell: the accumulator
+    lives in VMEM across ALL n CMUX steps, the complete doubled-generator
+    key (vv_ref, n x G x C x 2N int8) is VMEM-resident (constant index map:
+    fetched once, reused by every tile), and each step's Toeplitz weights are
+    assembled into scratch by the same strided-roll trick as
+    _cmux_step_gen_kernel.  vs the per-step kernel this removes the per-step
+    accumulator HBM round-trip (~2 x (k+1)N x B x 4 bytes x n per batch) and
+    n-1 of the n kernel launches; the step loop is a fori_loop (dynamic s),
+    legal because every in-kernel slice offset except vv's leading step
+    index is static.
+
+    amt_ref: (Bt, n_pad) int32, column 0 = initial body rotation, column
+    s+1 = step-s mask rotation (fused_blind_rotate's layout).
+    """
+    p = params
+    N, k1, l = p.N, p.k + 1, p.l
+    G = k1 * l
+    K = fine
+    U = N // K
+    span = N + (U - 1) * K
+    base = N - (U - 1) * K
+    C = sum(plan)
+    bt = out_ref.shape[0]
+
+    def amt_col(j):
+        # Dynamic lane-dim slices are not Mosaic-legal; select the column
+        # with an iota mask + lane reduction (cheap VPU pass).
+        blk = amt_ref[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 1)
+        return jnp.sum(jnp.where(lane == j, blk, 0), axis=1, keepdims=True)
+
+    # acc init: zero mask polys, body = X^{-barb} * (all-mu testvector).
+    out_ref[:, : p.k * N] = jnp.zeros((bt, p.k * N), jnp.int32)
+    tv = jnp.full((bt, N), mu_ref[0, 0], jnp.int32)
+    out_ref[:, p.k * N:] = _rotate_block(tv, amt_col(0), N)
+
+    def step(s, carry):
+        # --- assemble this step's fine-shift windows from vv[s] ----------
+        for g in range(G):
+            for c in range(C):
+                row = jnp.broadcast_to(vv_ref[s, g, c:c + 1, :], (K, 2 * N))
+                win = pltpu.roll(row.astype(jnp.int32), 2 * N - base, axis=1,
+                                 stride=1, stride_axis=0)
+                a_scr[c, g * K:(g + 1) * K, :] = win[:, :span].astype(jnp.int8)
+        # --- rotate + diff + decompose into the u-major digit scratch ----
+        amt = amt_col(s + 1)
+        for up in range(k1):
+            x = out_ref[:, up * N:(up + 1) * N]
+            diff = _rotate_block(x, amt, N) - x
+            for q, dq in enumerate(_decompose_block(diff, p)):
+                g = up * l + q
+                for w in range(U):
+                    d_scr[w, :, g * K:(g + 1) * K] = dq[:, w * K:(w + 1) * K]
+        # --- dots + recombine + accumulate (all digits staged first) -----
+        c = 0
+        for o, nl in enumerate(plan):
+            delta_o = None
+            for m in range(nl):
+                out_c = None
+                for u in range(U):
+                    lhs = d_scr[u]
+                    off_u = (U - 1 - u) * K
+                    rhs = a_scr[c, :, off_u: off_u + N]
+                    acc = jax.lax.dot_general(
+                        lhs, rhs, dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    out_c = acc if out_c is None else out_c + acc
+                term = out_c << (8 * (4 - nl) + 8 * m)
+                delta_o = term if delta_o is None else delta_o + term
+                c += 1
+            out_ref[:, o * N:(o + 1) * N] += delta_o
+        return carry
+
+    jax.lax.fori_loop(0, n_steps, step, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "block", "interpret"))
+def blind_rotate_gen_full(amt: jax.Array, vv_all: jax.Array, mu,
+                          params: TfheParams,
+                          block: int | None = None,
+                          interpret: bool = False) -> jax.Array:
+    """Full blind rotation as ONE Pallas kernel with in-VMEM weight assembly
+    and the whole generator key resident.
+
+    amt: (B, n+1) int32 (column 0 = initial body rotation); vv_all: the
+    complete CloudKey.bk_tp (n, G, C, 2N) int8 -- must fit in VMEM alongside
+    the tile working set (t2 set: ~41 MB; k=1 fast set: ~36 MB; NOT viable
+    at RING_2048's 134 MB, which stays on the per-step cmux_step_gen).
+    Returns the final accumulator (B, (k+1)*N) int32, bit-identical to the
+    scan-of-cmux_step_gen path.
+    """
+    p = params
+    plan = p.limb_plan
+    B = amt.shape[0]
+    n_steps, G, C, n2 = vv_all.shape
+    assert n2 == 2 * p.N and G == (p.k + 1) * p.l and C == sum(plan)
+    K = min(p.amat_block, p.N)
+    accw = (p.k + 1) * p.N
+    if block is None:
+        block = int(os.environ.get("PEBA1_FULL_BLOCK", 1024))
+    bt = _fit_block(B, block)
+    n_pad = -(-(n_steps + 1) // 128) * 128
+    amt = jnp.pad(amt, ((0, 0), (0, n_pad - n_steps - 1)))
+    U = p.N // K
+    span = p.N + (U - 1) * K
+    vmem_limit = int(os.environ.get("PEBA1_VMEM_LIMIT", 121_634_816))
+    return pl.pallas_call(
+        functools.partial(_gen_full_kernel, params=p, plan=plan, fine=K,
+                          n_steps=n_steps),
+        grid=(B // bt,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bt, n_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_steps, G, C, 2 * p.N), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, accw), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, accw), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((C, G * K, span), jnp.int8),
+            pltpu.VMEM((U, bt, G * K), jnp.int8),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(jnp.array([[mu]], jnp.int32), amt, vv_all)
+
+
 @functools.partial(jax.jit, static_argnames=("params", "block", "interpret"))
 def rotate_decompose(acc_flat: jax.Array, amt: jax.Array, params: TfheParams,
                      block: int = 256, interpret: bool = False) -> jax.Array:

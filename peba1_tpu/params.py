@@ -102,6 +102,15 @@ class TfheParams:
     # cmux_step's O(n*N^2) bk_w key everywhere else.  Supersedes
     # use_fused_step/w_streaming when set.
     use_gen_step: bool = False
+    # The WHOLE blind rotation as one kernel (pallas_kernels
+    # .blind_rotate_gen_full): generator key AND accumulator VMEM-resident
+    # across all n steps, weights assembled in VMEM per step -- removes the
+    # per-step accumulator HBM round-trip (~2*(k+1)*N*B*4*n bytes/batch) and
+    # n-1 of the n kernel launches.  Requires the full bk_tp
+    # (n*G*C*2N int8) to fit in VMEM next to the tile working set: true for
+    # the N<=1024 lambda=128 family (36-41 MB), NOT for RING_2048 (134 MB,
+    # which stays on use_gen_step).  Supersedes use_gen_step when set.
+    use_gen_full: bool = False
     # Fine-shift block K of the precomputed A-matrix (ops/poly.prepare_amat):
     # per-step storage is C*G*K*(N + (N/K - 1)*K) int8, and each of the C
     # limb columns needs N/K MXU dots whose int32 outputs are VPU-summed --

@@ -79,6 +79,12 @@ CONFIGS = {
     # VMEM from bk_tp by strided rolls -- no bk_w key, no per-step W in HBM.
     "fast_gen": PRESETS["peba1_128_fast_gen"],
     "t2_gen": PRESETS["peba1_128_t2_gen"],
+    # Whole-rotation variant: generator key + accumulator VMEM-resident
+    # across all n steps (blind_rotate_gen_full; N<=1024 sets only).
+    "fast_genf": dataclasses.replace(
+        PRESETS["peba1_128_fast_gen"], use_gen_full=True),
+    "t2_genf": dataclasses.replace(
+        PRESETS["peba1_128_t2_gen"], use_gen_full=True),
     # BASELINE config 4: the N=2048 ring.  bk_w cannot exist (~137 GB) and
     # one step's W (134 MB) exceeds VMEM, so the candidates are the XLA
     # GEMM paths (W materialized per step in-graph) and the in-VMEM-assembly

@@ -19,7 +19,8 @@ def _plain(base):
     """The fully-XLA reference configuration (no Pallas anywhere)."""
     return dataclasses.replace(
         base, use_fused_cmux=False, use_pallas_rotate=False,
-        use_pallas_extprod=False, use_fused_step=False, use_gen_step=False)
+        use_pallas_extprod=False, use_fused_step=False, use_gen_step=False,
+        use_gen_full=False)
 
 
 @pytest.mark.parametrize("base", [TOY, TOY_FAST, TOY_T2],
@@ -119,6 +120,30 @@ def test_gen_step_bootstrap_matches_scan(base):
                             use_fused_step=False, use_gen_step=True)
     sk, ck = keys.keygen(jax.random.PRNGKey(0), p)
     assert ck.bk_w is None  # no O(n*N^2) key for the generator path
+    bits = jnp.arange(64) % 2
+    ct = gates.encrypt_bits(jax.random.PRNGKey(1), sk, bits)
+    pre = lwe.Lwe(ct.a * 2, ct.b * 2 + jnp.int32(-gates.MU_1_8))
+    ref = bs.bootstrap(ck.replace(params=_plain(base)), pre,
+                       jnp.int32(gates.MU_1_8))
+    out = bs.bootstrap(ck, pre, jnp.int32(gates.MU_1_8))
+    np.testing.assert_array_equal(np.asarray(ref.a), np.asarray(out.a))
+    np.testing.assert_array_equal(np.asarray(ref.b), np.asarray(out.b))
+    got = np.asarray(lwe.decrypt_bit(out, sk.lwe_key))
+    np.testing.assert_array_equal(got, np.asarray(bits))
+
+
+@pytest.mark.parametrize(
+    "base",
+    [TOY, TOY_T2, dataclasses.replace(TOY, N=256)],
+    ids=["toy", "toy_t2", "toy_n256"])
+def test_gen_full_bootstrap_matches_scan(base):
+    """use_gen_full (whole rotation, resident generator key + accumulator)
+    == plain XLA path, bit-for-bit."""
+    p = dataclasses.replace(base, use_fused_cmux=False,
+                            use_pallas_rotate=False, use_pallas_extprod=False,
+                            use_fused_step=False, use_gen_full=True)
+    sk, ck = keys.keygen(jax.random.PRNGKey(0), p)
+    assert ck.bk_w is None
     bits = jnp.arange(64) % 2
     ct = gates.encrypt_bits(jax.random.PRNGKey(1), sk, bits)
     pre = lwe.Lwe(ct.a * 2, ct.b * 2 + jnp.int32(-gates.MU_1_8))
