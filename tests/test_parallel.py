@@ -222,11 +222,13 @@ def test_gspmd_identify_and_argmin(toy_keys):
 
 HEAVY = pytest.mark.skipif(
     not os.environ.get("PEBA1_HEAVY_TESTS"),
-    reason="the ONE-PROGRAM shard_map of the full identify circuit is "
-           "20+ min of XLA CPU compile on the virtual mesh even at "
-           "nslots=1/bitsize=2; its mechanisms (sharded_argmin, "
-           "sharded_tree_sum, ringtp) and the full pipeline (GSPMD form "
-           "above) are covered un-gated")
+    reason="the ONE-PROGRAM shard_map of the full identify circuit costs "
+           "~12 min for the pair even at nslots=1/bitsize=2 (measured "
+           "2026-08-21: both PASS, 11m52s cold / 10m13s with a warm "
+           "/root/jax_cache -- the cost is tracing, not XLA compile, so "
+           "the persistent cache cannot amortize it); its mechanisms "
+           "(sharded_argmin, sharded_tree_sum, ringtp) and the full "
+           "pipeline (GSPMD form above) are covered un-gated")
 
 
 @HEAVY
