@@ -670,6 +670,10 @@ def rotate_decompose(acc_flat: jax.Array, amt: jax.Array, params: TfheParams,
     G = (p.k + 1) * p.l
     bt = _fit_block(B, block)
     grid = (B // bt,)
+    # N=2048 shapes exceed Mosaic's default 16 MB scoped-vmem limit (the
+    # (bt, G*N) digit block alone is 2 MB x pipeline stages); request the
+    # same raised limit as the other kernels.
+    vmem_limit = int(os.environ.get("PEBA1_VMEM_LIMIT", 121_634_816))
     return pl.pallas_call(
         functools.partial(_rot_dec_kernel, params=p),
         grid=grid,
@@ -679,5 +683,6 @@ def rotate_decompose(acc_flat: jax.Array, amt: jax.Array, params: TfheParams,
         ],
         out_specs=pl.BlockSpec((bt, G * p.N), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, G * p.N), jnp.int8),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(amt.reshape(B, 1), acc_flat)
