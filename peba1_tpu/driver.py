@@ -193,7 +193,8 @@ def main(argv=None):
     # Defaults mirror the reference binary's constants: lambda=128 params
     # (src/main.cpp:20-21), nslots=128, bitsize=8 (src/main.cpp:30-32).
     # For a quick CPU smoke run use --params toy --nslots 8 --bitsize 4.
-    ap.add_argument("--params", default="peba1_128_t2", choices=sorted(PRESETS))
+    ap.add_argument("--params", default="peba1_128_t2_gen",
+                    choices=sorted(PRESETS))
     ap.add_argument("--nslots", type=int, default=128)
     ap.add_argument("--bitsize", type=int, default=8)
     ap.add_argument("--loop", type=int, default=128)
