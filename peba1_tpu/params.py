@@ -294,9 +294,17 @@ PEBA1_128_FAST_STREAM = dataclasses.replace(
 # BASELINE config-4 production path: at RING_2048, neither bk_w (~137 GB) nor
 # an HBM-materialized per-step W (~134 MB inside a 1024-step scan; crashed
 # the TPU-worker watchdog in the r03 attempt, runs/lever.log) is viable.
-# Measured on v5e at B=8192 (scripts/diag.py throughput, r4): t2_gen
-# 24,148 bs/s (the new headline kernel; vs 12,269 for bk_w-streaming
-# cmux_step), n2048_gen 1,359 bs/s -- the first on-chip N=2048 number.
+# Measured on v5e at B=8192, honest 2-vs-10-chain delta timing
+# (scripts/diag.py throughput, r4 / LEVER_r04.json):
+#   t2_gen    13,660 bs/s   (headline; vs 12,178 for bk_w-streaming
+#                            cmux_step -- and no 10.9 GB bk_w key)
+#   t2_genf   13,616 bs/s   (whole-rotation resident kernel: tied at k=2)
+#   fast_gen   6,596 bs/s   (k=1 faithful-lattice family)
+#   fast_genf  8,469 bs/s   (resident kernel wins +28% at k=1, where the
+#                            per-step MXU work is smaller relative to the
+#                            acc HBM round-trip it eliminates)
+#   n2048_gen  1,358 bs/s   (BASELINE config 4: first on-chip N=2048 number;
+#                            1.7x the best HBM-streaming alternative)
 # Crypto parameters are IDENTICAL to the non-gen presets (only the kernel
 # differs, and all kernels are bit-identical, tests/test_fused.py), so the
 # NOISE_r03_t2 campaign certification carries over to t2_gen unchanged.
@@ -304,15 +312,20 @@ RING_2048_GEN = dataclasses.replace(
     RING_2048, bk_body_limbs=3, use_gen_step=True)
 PEBA1_128_T2_GEN = dataclasses.replace(PEBA1_128_T2, use_gen_step=True)
 PEBA1_128_FAST_GEN = dataclasses.replace(PEBA1_128_FAST, use_gen_step=True)
+PEBA1_128_T2_GENF = dataclasses.replace(PEBA1_128_T2_GEN, use_gen_full=True)
+PEBA1_128_FAST_GENF = dataclasses.replace(
+    PEBA1_128_FAST_GEN, use_gen_full=True)
 
 PRESETS = {
     "peba1_128": PEBA1_128,
     "peba1_128_fast": PEBA1_128_FAST,
     "peba1_128_fast_stream": PEBA1_128_FAST_STREAM,
     "peba1_128_fast_gen": PEBA1_128_FAST_GEN,
+    "peba1_128_fast_genf": PEBA1_128_FAST_GENF,
     "peba1_128_t2": PEBA1_128_T2,
     "peba1_128_t2_stream": PEBA1_128_T2_STREAM,
     "peba1_128_t2_gen": PEBA1_128_T2_GEN,
+    "peba1_128_t2_genf": PEBA1_128_T2_GENF,
     "ring_2048": RING_2048,
     "ring_2048_gen": RING_2048_GEN,
     "toy": TOY,
