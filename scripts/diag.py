@@ -1,6 +1,6 @@
 """Consolidated on-chip diagnostics for peba1_tpu.
 
-One CLI, four modes (each previously an ad-hoc probe script):
+One CLI (modes below, each previously an ad-hoc probe script):
 
   python scripts/diag.py throughput [config ...]   honest bootstraps/s/chip
   python scripts/diag.py noise                     post-bootstrap phase error
