@@ -34,10 +34,16 @@ fit comfortably.  256-pair one-shot batching is the dp=2 sharding case
 """
 
 import argparse
+import faulthandler
 import json
 import os
+import signal
 import sys
 import time
+
+# SIGUSR1 -> dump all thread stacks to stderr (relay-stall diagnosis).
+faulthandler.register(signal.SIGUSR1)
+faulthandler.dump_traceback_later(1800, repeat=True)
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
