@@ -84,11 +84,15 @@ def main(argv=None):
     clear_d = ((templates - probe) ** 2).sum(1)
     want = (clear_d > proto.bound_match).astype(int)
 
+    # The template database is encrypted PER CHUNK inside the loop (chunk i
+    # under jax.random.fold_in(k1, i), deterministic across staged runs):
+    # encrypting 1024 full-width templates in one shot peaks >10 GB of
+    # transient mask/limb buffers next to the resident keys and OOMs HBM
+    # (observed, runs/sweep_r04_a.log).
     with log.timer("encrypt"):
-        t_ct = client.encrypt_vector(k1, templates)
         p_ct = client.encrypt_vector(k2, probe)
         bound_ct = client.encrypt_word(k3, proto.bound_match, 3 * args.bitsize)
-        np.asarray(t_ct.b[..., :1])
+        np.asarray(p_ct.b[..., :1])
 
     sw = sweep.IdentifySweep(server, args.dir, chunk=args.chunk, log=log)
     # database_id: deterministic from the generator config -- avoids the
@@ -149,7 +153,9 @@ def main(argv=None):
         lo = i * args.chunk
         hi_t = min(lo + args.chunk, args.n_templates)
         t0 = time.time()
-        out = server.identify(p_ct, t_ct[lo:hi_t], bound_ct)
+        t_ct = client.encrypt_vector(jax.random.fold_in(k1, i),
+                                     templates[lo:hi_t])
+        out = server.identify(p_ct, t_ct, bound_ct)
         np.asarray(out.b[..., :1])  # host fetch = real barrier
         dt = time.time() - t0
         sweep._atomic_save(
@@ -168,10 +174,9 @@ def main(argv=None):
             record("interrupted")
             return
 
-    # Full-engine pass: run() sees every chunk on disk, verifies every
-    # fingerprint, and skips them all -- the resume path exercised end to
-    # end (a mismatch would recompute, which the chunk counter would show).
-    sw.run(p_ct, t_ct, bound_ct, database_id=db_id)
+    # Final integrity pass: collect() re-verifies EVERY chunk's fingerprint
+    # against the manifest before reassembly (a stale or foreign chunk
+    # raises), then the decisions are decrypted and checked end to end.
     collected = sw.collect()
     got = client.decrypt_word(collected)
     correct = float((np.asarray(got) == want).mean())
