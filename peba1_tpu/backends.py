@@ -146,6 +146,10 @@ class CipherBackend:
         return lwe.concatenate(xs, axis=axis)
 
 
+def _nelems(shape) -> int:
+    return int(np.prod(shape, dtype=np.int64))
+
+
 class ClearBackend:
     """Executes the same circuits on plaintext bit arrays (int32 0/1)."""
 
@@ -179,3 +183,42 @@ class ClearBackend:
 
     def concat(self, xs, axis=0):
         return jnp.concatenate([jnp.asarray(x) for x in xs], axis=axis)
+
+
+class CountingBackend(ClearBackend):
+    """ClearBackend that additionally counts the gate bootstraps the
+    CipherBackend would execute for the same circuit run.
+
+    Mechanical replacement for SURVEY.md section 3.6's static gate-count
+    model (derived there by hand from /root/reference/src/Math.cpp): running
+    a circuit once on plaintext at the target shape yields the exact
+    per-item bootstrap count, from which protocol benchmarks derive
+    "effective bootstraps/s" without any hand-carried constant.  Counting
+    mirrors CipherBackend's batching: a lincomb gate is ONE bootstrap per
+    broadcast element, MUX is TWO (gates.MUX), a fused level is
+    len(ops) * broadcast-elements (backends._level_flat stacks every gate of
+    the level to the common shape; padding is excluded -- it is launch
+    overhead, not gate work).
+    """
+
+    def __init__(self):
+        super().__init__()
+        self.bootstraps = 0
+
+    def gate(self, name, a, b):
+        shape = jnp.broadcast_shapes(jnp.asarray(a).shape, jnp.asarray(b).shape)
+        self.bootstraps += _nelems(shape)
+        return super().gate(name, a, b)
+
+    def MUX(self, a, b, c):
+        shape = jnp.broadcast_shapes(*(jnp.asarray(x).shape for x in (a, b, c)))
+        self.bootstraps += 2 * _nelems(shape)
+        return super().MUX(a, b, c)
+
+    def level(self, ops):
+        shape = jnp.broadcast_shapes(
+            *[jnp.asarray(x).shape for _, a, b in ops for x in (a, b)])
+        self.bootstraps += len(ops) * _nelems(shape)
+        # Execute via the BASE gate method: routing through self.gate would
+        # double-count the level's gates.
+        return [ClearBackend.gate(self, name, a, b) for name, a, b in ops]

@@ -68,15 +68,18 @@ def save_cloud_key(path: str, ck: CloudKey) -> None:
 
 def load_cloud_key(path: str) -> CloudKey:
     from ..ops import poly
+    from .. import keys as _keys
 
     z = np.load(path)
     params = _params_from_json(bytes(z["__params__"]).decode())
     bk_tp = jnp.asarray(z["bk_tp"])
-    need_amat = params.ext_backend == "amat" or params.use_fused_cmux
+    # Derived-form selection MUST mirror keys.make_cloud_key exactly (shared
+    # predicates): rebuilding bk_w for a streaming/gen preset would allocate
+    # a multi-GB tensor blind_rotate never reads (10.9-18.5 GB for the
+    # lambda=128 family, ~137 GB at RING_2048 -- an instant OOM).
     bk_amat = (poly.prepare_amat(bk_tp, block=params.amat_block)
-               if need_amat else None)
-    need_w = params.use_pallas_extprod or params.use_fused_step
-    bk_w = poly.prepare_w_full(bk_tp) if need_w else None
+               if _keys.need_amat(params) else None)
+    bk_w = poly.prepare_w_full(bk_tp) if _keys.need_w(params) else None
     return CloudKey(bk=jnp.asarray(z["bk"]), bk_conv=jnp.asarray(z["bk_conv"]),
                     bk_tp=bk_tp, bk_amat=bk_amat, bk_w=bk_w,
                     ks_table_limbs=jnp.asarray(z["ks_table_limbs"]), params=params)

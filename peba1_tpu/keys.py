@@ -58,6 +58,23 @@ class CloudKey:
     params: TfheParams = struct.field(pytree_node=False)
 
 
+def need_amat(p: TfheParams) -> bool:
+    """Whether the cloud key must carry the A-matrix form bk_amat."""
+    return p.ext_backend == "amat" or p.use_fused_cmux
+
+
+def need_w(p: TfheParams) -> bool:
+    """Whether the cloud key must carry the fully materialized bk_w.
+
+    Single source of truth for keygen AND deserialization (io/serial): the
+    streaming/gen kernels assemble W in-graph or in-VMEM, so building the
+    multi-GB bk_w for them (10.9 GB at t2, 18.5 GB at fast, ~137 GB at
+    RING_2048) would be a dead allocation blind_rotate never reads.
+    """
+    return ((p.use_pallas_extprod or p.use_fused_step)
+            and not p.w_streaming and not p.use_gen_step and not p.use_gen_full)
+
+
 def active_bk_field(p: TfheParams) -> str:
     """Which CloudKey bootstrapping-key form ops.bootstrap.blind_rotate will
     actually read under `p` (mirrors its branch order exactly)."""
@@ -89,12 +106,21 @@ def slim_for_bootstrap(ck: CloudKey) -> CloudKey:
     return ck.replace(**{f: None for f in _BK_FIELDS if f != active})
 
 
-def keygen(key: jax.Array, params: TfheParams) -> "tuple[SecretKey, CloudKey]":
-    """Generate a full secret/cloud keyset deterministically from a PRNG key."""
-    k_lwe, k_tlwe, k_bk, k_ks = jax.random.split(key, 4)
+def secret_keygen(key: jax.Array, params: TfheParams) -> SecretKey:
+    """The secret-key half of `keygen`, bit-identical to it (same PRNG
+    splits).  Lets offline verifiers (e.g. sweep --finalize) reconstruct the
+    client's key to decrypt checkpointed decisions WITHOUT paying for the
+    cloud-key precomputations (multi-GB at the production presets)."""
+    k_lwe, k_tlwe, _, _ = jax.random.split(key, 4)
     lwe_key = jax.random.bernoulli(k_lwe, 0.5, (params.n,)).astype(jnp.int32)
     tlwe_key = jax.random.bernoulli(k_tlwe, 0.5, (params.k, params.N)).astype(jnp.int32)
-    sk = SecretKey(lwe_key=lwe_key, tlwe_key=tlwe_key, params=params)
+    return SecretKey(lwe_key=lwe_key, tlwe_key=tlwe_key, params=params)
+
+
+def keygen(key: jax.Array, params: TfheParams) -> "tuple[SecretKey, CloudKey]":
+    """Generate a full secret/cloud keyset deterministically from a PRNG key."""
+    _, _, k_bk, k_ks = jax.random.split(key, 4)
+    sk = secret_keygen(key, params)
     ck = make_cloud_key(k_bk, k_ks, sk)
     return sk, ck
 
@@ -107,11 +133,8 @@ def make_cloud_key(k_bk: jax.Array, k_ks: jax.Array, sk: SecretKey) -> CloudKey:
     bk_conv = jax.vmap(lambda g: poly.prepare_conv_rhs(g, p.limb_plan))(bk)
     # Toeplitz-generator form (doubled, limb-split) for the matmul backend.
     bk_tp = jax.vmap(lambda g: poly.prepare_toeplitz_rhs(g, p.limb_plan))(bk)
-    need_amat = p.ext_backend == "amat" or p.use_fused_cmux
-    bk_amat = poly.prepare_amat(bk_tp, block=p.amat_block) if need_amat else None
-    need_w = ((p.use_pallas_extprod or p.use_fused_step)
-              and not p.w_streaming and not p.use_gen_step)
-    bk_w = poly.prepare_w_full(bk_tp) if need_w else None
+    bk_amat = poly.prepare_amat(bk_tp, block=p.amat_block) if need_amat(p) else None
+    bk_w = poly.prepare_w_full(bk_tp) if need_w(p) else None
 
     # --- Keyswitch key: ks[i][j] = LWE_s(K_i / base^(j+1)); the switched
     # sample accumulates digit-value * row (ops/bootstrap.keyswitch_digits).

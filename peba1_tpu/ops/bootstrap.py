@@ -21,6 +21,8 @@ platform-dependent rounding (SURVEY.md "hard parts" #1).
 
 from __future__ import annotations
 
+import os
+import warnings
 from typing import TYPE_CHECKING
 
 import jax
@@ -32,6 +34,16 @@ from . import poly, rotate
 
 if TYPE_CHECKING:  # avoid circular import; CloudKey is only a type here
     from ..keys import CloudKey
+
+
+def _upgrade_rotate_on_tpu(p, platform: str) -> bool:
+    """Whether blind_rotate must swap the plain-XLA barrel-rotate/select
+    chain for the Pallas rotate_decompose kernel: that chain is known to
+    miscompile at N>=2048 on TPU (~50% wrong decodes -- LEVER_r04.json,
+    scripts/repro_n2048_rotate.py) while being bit-exact on CPU.
+    PEBA1_ALLOW_XLA_ROTATE_N2048=1 opts out (for the repro script)."""
+    return (not p.use_pallas_rotate and p.N >= 2048 and platform == "tpu"
+            and not os.environ.get("PEBA1_ALLOW_XLA_ROTATE_N2048"))
 
 
 def blind_rotate(ck: CloudKey, bara: jax.Array, barb: jax.Array, mu) -> jax.Array:
@@ -81,7 +93,21 @@ def blind_rotate(ck: CloudKey, bara: jax.Array, barb: jax.Array, mu) -> jax.Arra
     bk_steps = {"toeplitz": ck.bk_tp, "conv": ck.bk_conv, "amat": ck.bk_amat,
                 "pallas_extprod": ck.bk_w}[backend]
 
-    if (p.use_pallas_rotate or p.use_fused_step or p.use_gen_step
+    # TPU-only XLA miscompile quarantine: rather than leave silently-wrong
+    # cryptography one --params flag away (PRESETS["ring_2048"]), auto-
+    # upgrade to the Pallas rotate+decompose kernel -- proven bit-identical
+    # to the XLA formulation in tests/test_fused.py -- whenever the faulty
+    # chain would run on a TPU (see _upgrade_rotate_on_tpu).
+    use_pallas_rotate = p.use_pallas_rotate
+    if _upgrade_rotate_on_tpu(p, jax.devices()[0].platform):
+        warnings.warn(
+            f"N={p.N} plain-XLA rotate path is known to miscompile on TPU "
+            "(~50% wrong decodes, see LEVER_r04.json); auto-upgrading to the "
+            "bit-identical Pallas rotate_decompose kernel.  Set "
+            "PEBA1_ALLOW_XLA_ROTATE_N2048=1 to run the faulty path anyway.")
+        use_pallas_rotate = True
+
+    if (use_pallas_rotate or p.use_fused_step or p.use_gen_step
             or backend == "pallas_extprod"):
         from . import pallas_kernels as pk
         interp = jax.devices()[0].platform != "tpu"
@@ -119,7 +145,7 @@ def blind_rotate(ck: CloudKey, bara: jax.Array, barb: jax.Array, mu) -> jax.Arra
 
     def step(acc, xs):
         amt, bk_i = xs
-        if p.use_pallas_rotate:
+        if use_pallas_rotate:
             d = pk.rotate_decompose(acc.reshape(B, -1), amt, p, interpret=interp)
             d = d.reshape(B, (p.k + 1) * p.l, p.N)
         else:

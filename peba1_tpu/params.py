@@ -159,6 +159,12 @@ class TfheParams:
         assert self.amat_block % 128 == 0 and (
             self.N % self.amat_block == 0 or self.amat_block >= self.N), \
             "amat_block must be a 128-multiple dividing N"
+        # w_streaming only modifies the fused-step scan body; without
+        # use_fused_step it would silently combine with use_pallas_extprod
+        # into a keyset whose active form (bk_w) keygen never builds --
+        # fail here, not two modules later inside blind_rotate.
+        assert not self.w_streaming or self.use_fused_step, \
+            "w_streaming is only meaningful with use_fused_step"
 
 
 # TFHE v1.x gate-bootstrapping defaults for minimum_lambda <= 128, the set the
@@ -305,9 +311,15 @@ PEBA1_128_FAST_STREAM = dataclasses.replace(
 #                            acc HBM round-trip it eliminates)
 #   n2048_gen  1,358 bs/s   (BASELINE config 4: first on-chip N=2048 number;
 #                            1.7x the best HBM-streaming alternative)
-# Crypto parameters are IDENTICAL to the non-gen presets (only the kernel
-# differs, and all kernels are bit-identical, tests/test_fused.py), so the
-# NOISE_r03_t2 campaign certification carries over to t2_gen unchanged.
+# For the t2/fast family the crypto parameters are IDENTICAL to the non-gen
+# presets (only the kernel differs, and all kernels are bit-identical,
+# tests/test_fused.py), so the NOISE_r03_t2 campaign certification carries
+# over to t2_gen unchanged.  RING_2048_GEN is NOT a pure kernel swap: it
+# additionally truncates the body polynomial to 3 limbs (bk_body_limbs=3, a
+# noise-affecting key-truncation lever -- body rounding error enters the
+# phase directly, stdev ~2^-10 over n=1024 CMUX steps, far below the
+# decoding margin; see TfheParams.bk_body_limbs) and therefore carries its
+# own noise campaign (NOISE_r05_n2048.json).
 RING_2048_GEN = dataclasses.replace(
     RING_2048, bk_body_limbs=3, use_gen_step=True)
 PEBA1_128_T2_GEN = dataclasses.replace(PEBA1_128_T2, use_gen_step=True)
