@@ -87,7 +87,7 @@ def sharded_bootstrap(mesh: Mesh, ck: CloudKey, ct: lwe.Lwe, mu) -> lwe.Lwe:
 
 
 def sharded_bootstrap_ringtp(mesh: Mesh, ck: CloudKey, ct: lwe.Lwe,
-                             mu) -> lwe.Lwe:
+                             mu, overlap_blocks: int = 1) -> lwe.Lwe:
     """Gate bootstrap with the RING DIMENSION tensor-parallel over tp.
 
     The external product -- where the FLOPs and the weight bytes are -- is
@@ -111,6 +111,19 @@ def sharded_bootstrap_ringtp(mesh: Mesh, ck: CloudKey, ct: lwe.Lwe,
     coefficient is an independent integer dot, so partitioning the j axis
     changes no arithmetic (tests/test_parallel.py asserts equality on the
     virtual mesh).
+
+    overlap_blocks (K > 1): chunked-column-gather overlap for the one
+    collective that sits on the serial accumulator path.  Each rank's nj
+    local columns split into K blocks; block b's (Bl, k+1, nj/K) partial
+    delta is all_gathered as soon as its GEMM finishes, while the GEMM of
+    block b+1 proceeds -- independent ops, so XLA's latency-hiding scheduler
+    can hide (K-1)/K of the per-step gather bytes behind MXU work.  The
+    comm-model projection (scripts/bench_scaling.py --mode comm) shows why
+    this matters: with the corrected compute split (only the GEMM divides
+    by tp; rotate/decompose replicate) the un-overlapped per-step gather
+    holds ring-TP at ~0.70 of ideal at N=2048 even on v5p-class ICI, and
+    hiding all but one block's gather recovers >=0.8.  Bit-equality is
+    unchanged (pure column reordering), asserted in CI for K=2.
     """
     from ..ops import decompose as dec
 
@@ -119,6 +132,11 @@ def sharded_bootstrap_ringtp(mesh: Mesh, ck: CloudKey, ct: lwe.Lwe,
     if p.N % n_tp != 0:
         raise ValueError(f"N={p.N} not divisible by tp={n_tp}")
     nj = p.N // n_tp
+    K = overlap_blocks
+    if K < 1 or nj % K != 0:
+        raise ValueError(f"overlap_blocks={K} must divide the per-rank "
+                         f"column count N/tp={nj}")
+    njb = nj // K
     ks_sharded = shard_keyswitch_table(ck, n_tp)
     B = ct.shape[0]
     dp = mesh.shape["dp"]
@@ -140,9 +158,25 @@ def sharded_bootstrap_ringtp(mesh: Mesh, ck: CloudKey, ct: lwe.Lwe,
             rot = rotate.negacyclic_rotate(acc, amt[:, None])
             d = dec.decompose(rot - acc, p)           # (Bl, k+1, N, l)
             d = jnp.moveaxis(d, -1, -2).reshape(Bl, (p.k + 1) * p.l, p.N)
-            cols = poly.extprod_toeplitz_cols_i8(
-                d, vv_i, p.limb_plan, j0, nj)         # (Bl, k+1, nj)
-            delta = jax.lax.all_gather(cols, "tp", axis=-1, tiled=True)
+            if K == 1:
+                cols = poly.extprod_toeplitz_cols_i8(
+                    d, vv_i, p.limb_plan, j0, nj)     # (Bl, k+1, nj)
+                delta = jax.lax.all_gather(cols, "tp", axis=-1, tiled=True)
+            else:
+                # Chunked gathers: fire each block's all_gather as soon as
+                # its GEMM is done; the next block's GEMM is independent of
+                # it, so the collective rides behind MXU work.
+                gathered = []
+                for b in range(K):
+                    cols_b = poly.extprod_toeplitz_cols_i8(
+                        d, vv_i, p.limb_plan, j0 + b * njb, njb)
+                    gathered.append(jax.lax.all_gather(cols_b, "tp", axis=0))
+                # gathered[b]: (tp, Bl, k+1, njb) holding global columns
+                # r*nj + b*njb + c.  Reassemble coefficient order
+                # (r, b, c) -> N.
+                g = jnp.stack(gathered, axis=1)       # (tp, K, Bl, k+1, njb)
+                delta = g.transpose(2, 3, 0, 1, 4).reshape(
+                    Bl, p.k + 1, p.N)
             return acc + delta, ()
 
         acc, _ = jax.lax.scan(step, acc, (bara.T, bk_tp))

@@ -78,21 +78,51 @@ def mode_comm(args):
             "t_compute_s": t_batch, "t_comm_s": round(bytes_ks / ici, 6),
             "projected_efficiency": round(eff(t_batch, bytes_ks / ici), 4),
         })
+    f_gemm = args.ringtp_gemm_frac
+    K = args.overlap_blocks
     for tp in (2, 4, 8):
         # sharded_bootstrap_ringtp: per-STEP all_gather of the delta slice
         # (shard.py step(): cols (B, k+1, N/tp) -> (B, k+1, N)); n steps on
-        # the serial path (acc dependence), so no overlap is available.
+        # the serial path (acc dependence).  Three models:
+        #   optimistic -- the whole per-batch time divides by tp (upper
+        #     bound; kept for continuity with SCALING_r03/r04 rows);
+        #   corrected  -- only the GEMM fraction f splits (rotate/decompose
+        #     replicate per rank): t = t_batch*(f/tp + (1-f));
+        #   corrected+overlap -- overlap_blocks=K chunked gathers hide all
+        #     but ~1/K of the gather bytes behind the next block's GEMM
+        #     (exposed = max(t_comm/K, t_comm - (K-1)/K * t_gemm_local)).
         bytes_step = B * (p.k + 1) * p.N * 4 * (tp - 1) / tp
         total = bytes_step * p.n
-        # per-rank compute shrinks by tp (the GEMM columns split).
-        t_comp = t_batch / tp
+        t_comm = total / ici
+        t_ideal = t_batch / tp
+        t_corr = t_batch * (f_gemm / tp + (1 - f_gemm))
+        t_gemm_local = t_batch * f_gemm / tp
+        t_comm_exposed = max(t_comm / K, t_comm - (K - 1) / K * t_gemm_local)
         rows.append({
             "form": "sharded_bootstrap_ringtp", "axis": f"tp={tp}",
             "link": "ici",
             "payload_bytes_per_device_per_batch": int(total),
-            "t_compute_s": round(t_comp, 4),
-            "t_comm_s": round(total / ici, 4),
-            "projected_efficiency": round(eff(t_comp, total / ici), 4),
+            "t_compute_s": round(t_ideal, 4),
+            "t_comm_s": round(t_comm, 4),
+            "projected_efficiency": round(eff(t_ideal, t_comm), 4),
+        })
+        rows.append({
+            "form": "sharded_bootstrap_ringtp_corrected", "axis": f"tp={tp}",
+            "link": "ici",
+            "gemm_fraction": f_gemm,
+            "t_compute_s": round(t_corr, 4),
+            "t_comm_s": round(t_comm, 4),
+            "projected_efficiency_vs_ideal": round(
+                t_ideal / (t_corr + t_comm), 4),
+        })
+        rows.append({
+            "form": "sharded_bootstrap_ringtp_overlap", "axis": f"tp={tp}",
+            "link": "ici",
+            "gemm_fraction": f_gemm, "overlap_blocks": K,
+            "t_compute_s": round(t_corr, 4),
+            "t_comm_exposed_s": round(t_comm_exposed, 4),
+            "projected_efficiency_vs_ideal": round(
+                t_ideal / (t_corr + t_comm_exposed), 4),
         })
     for hosts in (2, 4, 8):
         # sharded_identify over dp across hosts (the config-5 1:N workload):
@@ -117,9 +147,24 @@ def mode_comm(args):
         "note": "KB-scale vs minutes of compute; negligible",
     })
 
+    def row(form, axis):
+        # Keyed lookup: positional indexing into `rows` silently mis-
+        # attributes numbers when the loops above change (advisor r4).
+        for r in rows:
+            if r["form"] == form and r["axis"] == axis:
+                return r
+        raise KeyError((form, axis))
+
+    r_ident = row("sharded_identify", "hosts=2 (dp)")
+    r_ks = row("sharded_bootstrap", "tp=2")
+    r_ring = row("sharded_bootstrap_ringtp", "tp=2")
+    r_ring_c = row("sharded_bootstrap_ringtp_corrected", "tp=2")
+    r_ring_o = row("sharded_bootstrap_ringtp_overlap", "tp=2")
     rec = {
         "metric": "projected_interconnect_limited_efficiency",
-        "model": "t_comp/(t_comp+t_comm), no-overlap lower bound",
+        "model": "t_comp/(t_comp+t_comm), no-overlap lower bound; "
+                 "ringtp additionally modeled with the corrected compute "
+                 "split and with chunked-gather overlap",
         "params": args.params,
         "per_device_batch": B,
         "nslots": nslots, "bitsize": bits,
@@ -127,25 +172,27 @@ def mode_comm(args):
         "assumed_dcn_gbytes_per_s": args.dcn_gbps,
         "batch_seconds_source": args.batch_seconds_source,
         "template_seconds_source": args.template_seconds_source,
+        "ringtp_gemm_frac": args.ringtp_gemm_frac,
+        "ringtp_gemm_frac_source": args.ringtp_gemm_frac_source,
         "rows": rows,
         "config5_verdict": (
             ">=80% at >=2 hosts HOLDS in projection for the config-5 1:N "
             "workload (sharded_identify over dp: no mid-circuit collectives, "
             "probe broadcast is microseconds vs ~minutes of compute/shard, "
-            f"projected {rows[6]['projected_efficiency']:.4f}); the dp-only "
+            f"projected {r_ident['projected_efficiency']:.4f}); the dp-only "
             "raw-bootstrap form is likewise collective-free and the "
             "tp-sharded keyswitch costs <1% at tp<=8 (projected "
-            f"{rows[0]['projected_efficiency']:.4f} at tp=2).  The ring-TP "
+            f"{r_ks['projected_efficiency']:.4f} at tp=2).  The ring-TP "
             "form is the exception: its per-step delta gather sits on the "
-            "serial accumulator path (no overlap), projecting "
-            f"{rows[3]['projected_efficiency']:.2f} at tp=2 on these "
-            "assumptions -- scaling the ring dimension is bandwidth-bound "
-            "and wants v5p-class ICI; scaling batch or templates is free."),
-        "ringtp_compute_model_caveat": (
-            "ringtp t_compute assumes the full per-batch time divides by tp; "
-            "in truth only the external-product GEMM splits (rotate/"
-            "decompose replicate per rank), so real ring-TP efficiency sits "
-            "between this bound and the unsplit-compute one."),
+            "serial accumulator path, projecting "
+            f"{r_ring['projected_efficiency']:.2f} at tp=2 optimistic, "
+            f"{r_ring_c['projected_efficiency_vs_ideal']:.2f} with the "
+            "corrected compute split (only the GEMM divides by tp), and "
+            f"{r_ring_o['projected_efficiency_vs_ideal']:.2f} with "
+            f"overlap_blocks={args.overlap_blocks} chunked gathers "
+            "(shard.sharded_bootstrap_ringtp overlap_blocks, bit-equal in "
+            "CI) -- scaling the ring dimension wants v5p-class ICI plus the "
+            "overlap; scaling batch or templates is free."),
     }
     print(json.dumps(rec))
     if args.out:
@@ -181,10 +228,19 @@ def main(argv=None):
     ap.add_argument("--batch-seconds", type=float, default=0.5994,
                     help="measured on-chip seconds per per-device batch")
     ap.add_argument("--batch-seconds-source", default="BENCH_r04.json")
-    ap.add_argument("--template-seconds", type=float, default=19.4,
+    ap.add_argument("--template-seconds", type=float, default=15.9,
                     help="measured on-chip seconds per 1:N template")
     ap.add_argument("--template-seconds-source",
-                    default="BENCH_matches_r03.json (1242s / 64 templates)")
+                    default="SWEEP_r05.json (509s / 32 templates steady)")
+    ap.add_argument("--ringtp-gemm-frac", type=float, default=0.76,
+                    help="fraction of the per-batch time in the tp-split "
+                         "GEMM (rest replicates per rank)")
+    ap.add_argument("--ringtp-gemm-frac-source",
+                    default="VERDICT r4 roofline arithmetic: t2_gen runs at "
+                            "~76%% of v5e int8 MXU peak, so >=76%% of wall "
+                            "clock is MXU GEMM (83%% at N=2048)")
+    ap.add_argument("--overlap-blocks", type=int, default=4,
+                    help="chunked-gather blocks for the ringtp overlap row")
     args = ap.parse_args(argv)
 
     if args.mode == "comm":

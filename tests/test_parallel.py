@@ -97,6 +97,25 @@ def test_ringtp_bootstrap_equals_single(toy_keys):
         np.asarray(gates.decrypt_bits(got, sk)), np.asarray(bits))
 
 
+def test_ringtp_overlap_blocks_equals_single(toy_keys):
+    """Chunked-column-gather ring-TP (overlap_blocks=2: per-step delta
+    gathered in two blocks so the collective can hide behind the next
+    block's GEMM) == single-device bootstrap, bit-exact -- the reassembly
+    is pure column reordering."""
+    sk, ck = toy_keys
+    m = pmesh.make_mesh(n_dp=2, n_tp=4)
+    B = 8
+    bits = (jnp.arange(B) + 1) % 2
+    ct = gates.encrypt_bits(jax.random.PRNGKey(7), sk, bits)
+    want = bs.bootstrap(ck, ct, jnp.int32(gates.MU_1_8))
+    got = pshard.sharded_bootstrap_ringtp(m, ck, ct, jnp.int32(gates.MU_1_8),
+                                          overlap_blocks=2)
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(want.a))
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(want.b))
+    np.testing.assert_array_equal(
+        np.asarray(gates.decrypt_bits(got, sk)), np.asarray(bits))
+
+
 def test_sharded_tree_sum_equals_single(toy_keys):
     """Slot-sum reduction over the mesh (local bootstrapped adder trees +
     gathered finish) == single-device circuits.tree_sum, bit-exact -- the
