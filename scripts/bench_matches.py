@@ -70,6 +70,9 @@ def main(argv=None):
     ap.add_argument("--params", default="peba1_128_t2_gen",
                     choices=sorted(PRESETS))
     ap.add_argument("--pairs", type=int, default=256)
+    ap.add_argument("--split", type=int, default=1,
+                    help="run the pairs batch as this many sequential "
+                         "sub-batches (memory cap; see docstring)")
     ap.add_argument("--n-templates", type=int, default=64)
     ap.add_argument("--nslots", type=int, default=128)
     ap.add_argument("--bitsize", type=int, default=8)
@@ -107,13 +110,32 @@ def main(argv=None):
                 k3, np.full(args.pairs, proto.bound_match), 3 * args.bitsize)
             jax.block_until_ready(t_ct.b)
         server.be.launches = 0
+        # --split S: run the batch as S sequential sub-batches inside ONE
+        # timed window.  The memory envelope (module docstring) is set by
+        # the encrypted multiply intermediates, which scale with the LIVE
+        # sub-batch -- at full width 256 pairs one-shot overflows a v5e's
+        # 16 GB HBM mid-multiply while 2 x 128 fits, so this is how the
+        # literal BASELINE config-2 shape (256 pairs) executes on one chip.
+        # (The one-shot 256-pair form is exactly the dp=2 GSPMD case.)
+        split = max(1, args.split)
+        assert args.pairs % split == 0, "--pairs must divide by --split"
+        sub = args.pairs // split
+        bs = []
         t0 = time.time()
-        res = server.authenticate(k4, p_ct, t_ct, bound_ct)
-        decisions = np.asarray(res.enc_b.b)  # host fetch = end barrier
-        np.asarray(res.enc_y.b)
+        for h in range(split):
+            sl = slice(h * sub, (h + 1) * sub)
+            res = server.authenticate(jax.random.fold_in(k4, h),
+                                      p_ct[sl], t_ct[sl], bound_ct[sl])
+            np.asarray(res.enc_b.b)  # host fetch = per-sub-batch barrier
+            np.asarray(res.enc_y.b)
+            bs.append(res.enc_b)
+            if split > 1:
+                print(f"[pairs] sub-batch {h + 1}/{split} done "
+                      f"({time.time() - t0:.0f}s)", flush=True)
         dt = time.time() - t0
         # correctness: decrypt and compare against plaintext distances
-        b = client.decrypt_word(res.enc_b)
+        from peba1_tpu import lwe as _lwe
+        b = client.decrypt_word(_lwe.concatenate(bs, axis=0))
         want = (((probes - templates) ** 2).sum(1) > proto.bound_match).astype(int)
         correct = float((np.asarray(b) == want).mean())
     else:
@@ -149,6 +171,7 @@ def main(argv=None):
         "unit": "matches/s",
         "seconds": round(dt, 2),
         "items": n_items,
+        "split": args.split if args.config == "pairs" else None,
         "launches": server.be.launches,
         "nslots": args.nslots,
         "bitsize": args.bitsize,
