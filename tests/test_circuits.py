@@ -221,3 +221,55 @@ def test_shape_validation_real_errors():
     bound = _cc.const_word(be, 4, 5)                          # must be 9 bits
     with _pytest.raises(ValueError, match="bound must be"):
         _cc.function_f(be, a, a, bound, 3)
+
+
+def test_counting_backend_matches_cipher_execution(toy_keys):
+    """CountingBackend's bootstrap count must equal what CipherBackend
+    actually executes (counted at the gate/MUX/level call sites), and the
+    toy-scale function_f count is pinned -- the protocol benchmarks derive
+    effective-bootstraps/s from this counter, so it must not drift."""
+    import jax
+    import jax.numpy as jnp
+
+    from peba1_tpu import circuits as cc
+    from peba1_tpu import gates
+    from peba1_tpu.backends import CipherBackend, CountingBackend
+    from peba1_tpu.utils.bits import int_to_bits
+
+    sk, ck = toy_keys
+    nslots, bits = 4, 3
+    t = np.array([[2, 3, 1, 2]])
+    p = np.array([[1, 2, 1, 3]])
+    tb, pb = int_to_bits(t, bits), int_to_bits(p, bits)
+    bound = int_to_bits(np.array([8]), 3 * bits)
+
+    executed = {"n": 0}
+
+    class InstrumentedCipher(CipherBackend):
+        def gate(self, name, a, b):
+            executed["n"] += int(np.prod(
+                jnp.broadcast_shapes(a.shape, b.shape), dtype=np.int64))
+            return super().gate(name, a, b)
+
+        def MUX(self, a, b, c):
+            executed["n"] += 2 * int(np.prod(
+                jnp.broadcast_shapes(a.shape, b.shape, c.shape),
+                dtype=np.int64))
+            return super().MUX(a, b, c)
+
+        def level(self, ops):
+            shape = jnp.broadcast_shapes(
+                *[x.shape for _, a, b in ops for x in (a, b)])
+            executed["n"] += len(ops) * int(np.prod(shape, dtype=np.int64))
+            return super().level(ops)
+
+    be = InstrumentedCipher(ck)
+    t_ct = gates.encrypt_bits(jax.random.PRNGKey(1), sk, tb)
+    p_ct = gates.encrypt_bits(jax.random.PRNGKey(2), sk, pb)
+    b_ct = gates.encrypt_bits(jax.random.PRNGKey(3), sk, bound)
+    out = cc.function_f(be, p_ct, t_ct, b_ct, bits)
+    jax.block_until_ready(out.b)
+
+    cb = CountingBackend()
+    cc.function_f(cb, pb, tb, bound, bits)
+    assert cb.bootstraps == executed["n"] == 1193
