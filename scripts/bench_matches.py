@@ -77,6 +77,7 @@ def main(argv=None):
     ap.add_argument("--nslots", type=int, default=128)
     ap.add_argument("--bitsize", type=int, default=8)
     ap.add_argument("--platform", default=None, help="e.g. cpu to force local")
+    ap.add_argument("--out", default=None, help="also write the JSON record here")
     args = ap.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -165,7 +166,7 @@ def main(argv=None):
             i = int(client.decrypt_word(enc_i))
             correct = float(d == int(clear_d.min()) and i == int(np.argmin(clear_d)))
 
-    print(json.dumps({
+    rec = {
         "metric": f"encrypted_{args.config}_matches_per_s",
         "value": round(n_items / dt, 4),
         "unit": "matches/s",
@@ -178,7 +179,11 @@ def main(argv=None):
         "params": args.params,
         "correct_frac": correct,
         "device": str(jax.devices()[0]),
-    }))
+    }
+    print(json.dumps(rec))
+    if args.out:
+        from peba1_tpu.utils.artifacts import atomic_json
+        atomic_json(args.out, rec)
 
 
 if __name__ == "__main__":
