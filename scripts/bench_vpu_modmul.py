@@ -60,9 +60,14 @@ def timed(chain, x):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--elems", type=int, default=1 << 24)
-    ap.add_argument("--short", type=int, default=8)
-    ap.add_argument("--long", type=int, default=64)
+    # Scale: the relay's dispatch/fetch jitter is 0.1-0.9 s, so the LONG
+    # chain must be several seconds of pure device time (the r5 first
+    # attempt at 64 sweeps x 2^24 elems was ~10 ms of work and measured
+    # relay noise, including a negative delta).  At the plausible 1e11
+    # modmul/s these defaults give ~0.9 s vs ~7 s.
+    ap.add_argument("--elems", type=int, default=1 << 22)
+    ap.add_argument("--short", type=int, default=32768)
+    ap.add_argument("--long", type=int, default=262144)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--out", default=None)
@@ -82,7 +87,15 @@ def main(argv=None):
         print(f"[rep {r}] short({args.short})={ts:.3f}s long({args.long})="
               f"{tl:.3f}s -> {args.elems / deltas[-1] / 1e9:.2f} G modmul/s",
               flush=True)
-    per_sweep = min(deltas)
+    pos = [d for d in deltas if d > 0]
+    if not pos:
+        raise SystemExit("all long-short deltas non-positive (relay noise "
+                         "floor); increase --long/--elems, artifact NOT "
+                         "written")
+    per_sweep = min(pos)
+    if per_sweep * (args.long - args.short) < 1.0:
+        print("[warn] long-short delta under 1 s -- relay noise floor; "
+              "increase --long/--elems", file=sys.stderr, flush=True)
     rate = args.elems / per_sweep
 
     # NTT projections (docs/NTT_DECISION.md formulas): modmuls per bootstrap
