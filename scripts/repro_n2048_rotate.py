@@ -97,6 +97,12 @@ def main(argv=None):
     ap.add_argument("--platform", default=None)
     ap.add_argument("--skip-e2e", action="store_true",
                     help="stages A-C only (no keygen; for the CPU control)")
+    ap.add_argument("--skip-chain", action="store_true",
+                    help="skip stage E (large-batch chained-scan context)")
+    ap.add_argument("--chain-batch", type=int, default=8192)
+    # 2 steps keeps the single dispatch ~30 s at the plain path's ~500 bs/s
+    # (multi-minute dispatches have crashed the TPU-worker watchdog).
+    ap.add_argument("--chain-steps", type=int, default=2)
     args = ap.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -206,6 +212,44 @@ def main(argv=None):
         rec["stages"]["D_guard_auto_upgrade"] = {
             "decode_frac": decode_frac(ck.replace(params=p_guard),
                                        "guard auto-upgrade")}
+
+        # -- stage E: LEVER_r04's exact context -- CHAINED bootstraps in a
+        # lax.scan at large batch (the conditions under which the ~50%
+        # decode fault was observed; stage D's single-gate B=256 form did
+        # NOT reproduce it in r5).
+        if not args.skip_chain:
+            B2 = args.chain_batch
+            bits2 = rng.integers(0, 2, B2).astype(np.int32)
+            ct2 = gates.encrypt_bits(jax.random.PRNGKey(2), sk,
+                                     jnp.asarray(bits2))
+
+            from peba1_tpu import lwe as lwe_mod
+            from peba1_tpu.ops import bootstrap as bs_mod
+
+            @jax.jit
+            def chain2(ck_v, a, b):
+                def body(c, _):
+                    pre = lwe_mod.Lwe(c[0] * 2,
+                                      c[1] * 2 + jnp.int32(-gates.MU_1_8))
+                    out = bs_mod.bootstrap(ck_v, pre, jnp.int32(gates.MU_1_8))
+                    return (out.a, out.b), ()
+                (a, b), _ = jax.lax.scan(body, (a, b), None,
+                                         length=args.chain_steps)
+                return a, b
+
+            os.environ["PEBA1_ALLOW_XLA_ROTATE_N2048"] = "1"
+            t0 = time.time()
+            a2, b2 = chain2(ck, ct2.a, ct2.b)
+            got2 = fetch(gates.decrypt_bits(lwe_mod.Lwe(a2, b2), sk))
+            frac_e = float((got2 == bits2).mean())
+            del os.environ["PEBA1_ALLOW_XLA_ROTATE_N2048"]
+            rec["stages"]["E_chained_scan_plain_rotate"] = {
+                "batch": B2, "chain_steps": args.chain_steps,
+                "decode_frac": frac_e,
+                "seconds": round(time.time() - t0, 1)}
+            print(f"[E] chained plain-rotate scan (B={B2}, "
+                  f"{args.chain_steps} steps): decode_frac={frac_e}",
+                  flush=True)
 
     with open(args.out, "w") as f:
         json.dump(rec, f, indent=1)
