@@ -250,6 +250,13 @@ def main(argv=None):
             print(f"[E] chained plain-rotate scan (B={B2}, "
                   f"{args.chain_steps} steps): decode_frac={frac_e}",
                   flush=True)
+            if frac_e < 1.0:
+                os.environ["PEBA1_ALLOW_XLA_ROTATE_N2048"] = "1"
+                try:
+                    dump_hlo(chain2, (ck, ct2.a, ct2.b), args.hlo_dir,
+                             "E_chained_scan_plain_rotate")
+                finally:
+                    del os.environ["PEBA1_ALLOW_XLA_ROTATE_N2048"]
 
     with open(args.out, "w") as f:
         json.dump(rec, f, indent=1)
