@@ -41,8 +41,13 @@ def _upgrade_rotate_on_tpu(p, platform: str) -> bool:
     chain for the Pallas rotate_decompose kernel: that chain is known to
     miscompile at N>=2048 on TPU (~50% wrong decodes -- LEVER_r04.json,
     scripts/repro_n2048_rotate.py) while being bit-exact on CPU.
+    Only applies when the plain in-scan rotate would actually run (every
+    fused/gen kernel family has its own rotation and returns earlier).
     PEBA1_ALLOW_XLA_ROTATE_N2048=1 opts out (for the repro script)."""
-    return (not p.use_pallas_rotate and p.N >= 2048 and platform == "tpu"
+    plain_rotate_active = not (p.use_pallas_rotate or p.use_fused_cmux
+                               or p.use_gen_full or p.use_gen_step
+                               or p.use_fused_step)
+    return (plain_rotate_active and p.N >= 2048 and platform == "tpu"
             and not os.environ.get("PEBA1_ALLOW_XLA_ROTATE_N2048"))
 
 
