@@ -29,6 +29,22 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_jit_state():
+    """Drop compiled executables between test modules.
+
+    The full suite compiles hundreds of XLA CPU executables in one process;
+    with all of them kept live, the CPU client's JIT has been observed to
+    segfault inside backend_compile_and_load partway through the run
+    (deterministically at the same compile, while the same tests pass in any
+    smaller subset).  Clearing the jit caches at module boundaries bounds the
+    accumulated state; module-scoped fixtures (keys etc.) are unaffected and
+    per-module recompiles are covered by the persistent cache below.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return jax.random.PRNGKey(42)
